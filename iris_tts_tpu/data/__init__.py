@@ -1,0 +1,11 @@
+"""Host-side data pipeline: audio IO, alignments, datasets, batching."""
+
+from iris_tts_tpu.data.audio_io import (
+    load_audio,
+    read_wav,
+    resample,
+    to_mono,
+    write_wav,
+)
+
+__all__ = ["load_audio", "read_wav", "resample", "to_mono", "write_wav"]

@@ -1,0 +1,37 @@
+"""Test bootstrap: force an 8-device CPU platform before JAX initialises.
+
+This is the idiomatic JAX way to exercise multi-device sharding without real
+hardware (SURVEY.md §4): every test sees 8 virtual CPU devices and can build
+real `jax.sharding.Mesh`es over them. Benchmarks (bench.py) run on the real
+TPU instead.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The environment may pre-import jax with JAX_PLATFORMS pinned to a hardware
+# plugin (site customization), so an env-var override is too late here —
+# force the CPU backend through the live config instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import sys
+from pathlib import Path
+
+# Make the repo root importable when pytest is run from anywhere.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1337)

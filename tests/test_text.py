@@ -1,0 +1,207 @@
+"""Text frontend tests: normalization, numbers, lexicon, G2P, vocab."""
+
+import numpy as np
+import pytest
+
+from iris_tts_tpu.text import (
+    ARPABET,
+    Lexicon,
+    PhonemeVocab,
+    TextProcessor,
+    create_text_processor,
+    expand_numbers,
+    normalize_text,
+    number_to_words,
+    ordinal_to_words,
+    strip_stress,
+    year_to_words,
+)
+from iris_tts_tpu.text.g2p import g2p
+
+
+# -- numbers -----------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "n,words",
+    [
+        (0, "zero"),
+        (7, "seven"),
+        (15, "fifteen"),
+        (21, "twenty one"),
+        (100, "one hundred"),
+        (101, "one hundred one"),
+        (999, "nine hundred ninety nine"),
+        (1000, "one thousand"),
+        (1234567, "one million two hundred thirty four thousand five hundred sixty seven"),
+    ],
+)
+def test_number_to_words(n, words):
+    assert number_to_words(n) == words
+
+
+@pytest.mark.parametrize(
+    "n,words",
+    [(1, "first"), (2, "second"), (3, "third"), (12, "twelfth"),
+     (20, "twentieth"), (21, "twenty first"), (100, "one hundredth")],
+)
+def test_ordinal_to_words(n, words):
+    assert ordinal_to_words(n) == words
+
+
+@pytest.mark.parametrize(
+    "n,words",
+    [
+        (1984, "nineteen eighty four"),
+        (1900, "nineteen hundred"),
+        (2007, "two thousand seven"),
+        (1805, "eighteen oh five"),
+    ],
+)
+def test_year_to_words(n, words):
+    assert year_to_words(n) == words
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("$5", "five dollars"),
+        ("$1.50", "one dollar and fifty cents"),
+        ("$1", "one dollar"),
+        ("3.14", "three point one four"),
+        ("50%", "fifty percent"),
+        ("3rd", "third"),
+        ("10:30", "ten thirty"),
+        ("9:05", "nine oh five"),
+        ("42 cats", "forty two cats"),
+        ("1,234", "one thousand two hundred thirty four"),
+    ],
+)
+def test_expand_numbers(text, expected):
+    assert expand_numbers(text) == expected
+
+
+# -- normalization -----------------------------------------------------------
+
+
+def test_normalize_basic():
+    assert normalize_text("  Hello   WORLD  ") == "hello world"
+
+
+def test_normalize_abbreviations():
+    assert normalize_text("Dr. Smith met Mr. Jones") == (
+        "doctor smith met mister jones"
+    )
+
+
+def test_normalize_numbers_and_currency():
+    out = normalize_text("The price was $12.50 in 1984.")
+    assert out == "the price was twelve dollars and fifty cents in nineteen eighty four."
+
+
+def test_normalize_dates():
+    assert "january third" in normalize_text("on January 3, he left")
+
+
+def test_normalize_unicode_quotes():
+    assert normalize_text("“Hello” — it’s fine") == '"hello" - it\'s fine'
+
+
+# -- lexicon / g2p -----------------------------------------------------------
+
+
+def test_builtin_lexicon_lookup():
+    lex = Lexicon()
+    assert lex.lookup("hello") == ["HH", "AH", "L", "OW"]
+    assert lex.lookup("HELLO") == ["HH", "AH", "L", "OW"]
+    assert lex.lookup("qwzx") is None
+
+
+def test_lexicon_from_cmudict_format(tmp_path):
+    p = tmp_path / "dict.txt"
+    p.write_text(
+        ";;; comment line\n"
+        "ZEBRA  Z IY1 B R AH0\n"
+        "ZEBRA(2)  Z EH1 B R AH0\n"
+        "BADSYM  Q9 XX\n"
+    )
+    lex = Lexicon.from_cmudict_file(p)
+    assert lex.lookup("zebra") == ["Z", "IY", "B", "R", "AH"]  # first pron, no stress
+    assert lex.lookup("badsym") is None
+
+
+def test_strip_stress():
+    assert strip_stress("AH0") == "AH"
+    assert strip_stress("EY1") == "EY"
+    assert strip_stress("K") == "K"
+
+
+def test_g2p_emits_valid_arpabet():
+    valid = set(ARPABET)
+    for word in ["zorblax", "computer", "brillig", "slithy", "quick", "phone"]:
+        phones = g2p(word)
+        assert phones, word
+        assert all(p in valid for p in phones), (word, phones)
+
+
+def test_g2p_common_patterns():
+    assert g2p("phone") == ["F", "OW", "N"]       # ph + magic-e
+    assert g2p("chat")[0] == "CH"
+    assert g2p("sing")[-1] == "NG"
+    assert g2p("make") == ["M", "EY", "K"]        # magic-e
+
+
+# -- processor ---------------------------------------------------------------
+
+
+def test_text_to_phonemes_end_to_end():
+    tp = create_text_processor()
+    out = tp.text_to_phonemes("Hello world")
+    assert out == "HH AH L OW W ER L D"
+
+
+def test_text_to_ids_unk_fallback():
+    tp = TextProcessor()
+    vocab = PhonemeVocab.build(["HH", "AH", "L", "OW"])
+    ids = tp.text_to_ids("hello", vocab)
+    assert ids.dtype == np.int32
+    assert all(i < len(vocab) for i in ids)
+    # empty text → single UNK (reference synthesize.py:36-38)
+    empty = tp.text_to_ids("", vocab)
+    assert list(empty) == [vocab.unk_id]
+
+
+def test_create_phoneme_mapping_scheme():
+    tp = TextProcessor()
+    p2i, i2p = tp.create_phoneme_mapping(["hello world"])
+    # reference scheme: 4 specials first (text.py:272-284)
+    assert [i2p[i] for i in range(4)] == ["<PAD>", "<SOS>", "<EOS>", "<UNK>"]
+    assert all(p2i[i2p[i]] == i for i in range(len(p2i)))
+
+
+def test_vocab_roundtrip(tmp_path):
+    v = PhonemeVocab.default_arpabet()
+    assert len(v) == len(ARPABET) + 2
+    p = tmp_path / "vocab.json"
+    v.save(p)
+    again = PhonemeVocab.load(p)
+    assert again.phoneme_to_id == v.phoneme_to_id
+
+
+def test_vocab_npy_compat(tmp_path):
+    # reference persisted vocab as numpy pickle (datasets.py:278-285)
+    v = PhonemeVocab.default_arpabet()
+    p = tmp_path / "phoneme_vocab.npy"
+    np.save(p, {"phoneme_to_id": v.phoneme_to_id, "id_to_phoneme": v.id_to_phoneme})
+    again = PhonemeVocab.load(p)
+    assert again.phoneme_to_id == v.phoneme_to_id
+
+
+def test_training_vocab_scheme_matches_reference():
+    # datasets.py:259-274: <PAD>=0, <UNK>=1, then sorted phones.
+    v = PhonemeVocab.build(["B", "AA", "ZH"])
+    assert v.phoneme_to_id["<PAD>"] == 0
+    assert v.phoneme_to_id["<UNK>"] == 1
+    assert v.phoneme_to_id["AA"] == 2
+    assert v.phoneme_to_id["B"] == 3
+    assert v.phoneme_to_id["ZH"] == 4

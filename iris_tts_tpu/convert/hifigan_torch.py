@@ -1,0 +1,163 @@
+"""Torch HiFiGAN checkpoint → flax params converter (weight-norm folding).
+
+The reference runs the pretrained speechbrain ``tts-hifigan-ljspeech``
+generator through PyTorch at inference time (/root/reference/src/iris/
+hifigan_pretrained.py:146-242). Here the checkpoint is converted **once** into
+the flax parameter tree of :class:`iris_tts_tpu.models.hifigan.HiFiGANGenerator`
+so the hot path is pure JAX on TPU. The conversion handles the three weight-
+transfer hazards called out in SURVEY.md §2.3 / §7:
+
+1. **weight_norm folding** — torch stores ``weight_g``/``weight_v``
+   (hifigan_pretrained.py:49-59); folded here as
+   ``w = v * g / ||v||`` with the norm over all dims except dim 0.
+2. **layout transposition** — torch Conv1d ``[C_out, C_in, K]`` →
+   flax ``[K, C_in, C_out]``; ConvTranspose1d ``[C_in, C_out, K]``.
+3. **kernel flip for transposed convs** — torch ConvTranspose is a true
+   convolution; the flax module stores the K-flipped kernel so XLA
+   cross-correlation reproduces it exactly.
+
+Supports plain ``weight_g/weight_v`` naming, new-style torch
+``parametrizations.weight.original0/1``, and already-folded ``weight`` keys.
+Tensors may be torch tensors or numpy arrays (torch is only needed for
+``torch.load`` itself).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from iris_tts_tpu.config import HiFiGANConfig
+
+
+def _to_numpy(t: Any) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor without importing torch at module scope
+    return t.detach().cpu().numpy()
+
+
+def _fold_weight(sd: Mapping[str, Any], prefix: str) -> np.ndarray:
+    """Return the effective conv weight for ``prefix`` with weight-norm
+    folded: ``w = g * v / ||v||`` (norm over all dims except dim 0)."""
+    if f"{prefix}.weight_v" in sd:
+        v = _to_numpy(sd[f"{prefix}.weight_v"]).astype(np.float64)
+        g = _to_numpy(sd[f"{prefix}.weight_g"]).astype(np.float64)
+    elif f"{prefix}.parametrizations.weight.original1" in sd:
+        v = _to_numpy(
+            sd[f"{prefix}.parametrizations.weight.original1"]
+        ).astype(np.float64)
+        g = _to_numpy(
+            sd[f"{prefix}.parametrizations.weight.original0"]
+        ).astype(np.float64)
+    elif f"{prefix}.weight" in sd:
+        return _to_numpy(sd[f"{prefix}.weight"]).astype(np.float64)
+    else:
+        raise KeyError(f"no weight found for '{prefix}'")
+    norm = np.sqrt(
+        np.sum(v**2, axis=tuple(range(1, v.ndim)), keepdims=True)
+    )
+    return v * (g / norm)
+
+
+def _conv_kernel(sd: Mapping[str, Any], prefix: str) -> np.ndarray:
+    """torch Conv1d weight [C_out, C_in, K] → flax [K, C_in, C_out]."""
+    w = _fold_weight(sd, prefix)
+    return np.ascontiguousarray(w.transpose(2, 1, 0)).astype(np.float32)
+
+
+def _conv_transpose_kernel(sd: Mapping[str, Any], prefix: str) -> np.ndarray:
+    """torch ConvTranspose1d weight [C_in, C_out, K] → K-flipped flax
+    [K, C_in, C_out]."""
+    w = _fold_weight(sd, prefix)
+    w = w[:, :, ::-1]  # flip along K
+    return np.ascontiguousarray(w.transpose(2, 0, 1)).astype(np.float32)
+
+
+def _bias(sd: Mapping[str, Any], prefix: str) -> np.ndarray:
+    return _to_numpy(sd[f"{prefix}.bias"]).astype(np.float32)
+
+
+def convert_hifigan_state_dict(
+    state_dict: Mapping[str, Any],
+    config: HiFiGANConfig = HiFiGANConfig(),
+) -> Dict[str, Any]:
+    """Torch generator state dict → flax params for ``HiFiGANGenerator``.
+
+    Key naming follows the reference topology (hifigan_pretrained.py:92-121):
+    ``conv_pre``, ``ups.{i}``, ``resblocks.{n}.convs{1,2}.{j}``, ``conv_post``.
+    """
+    params: Dict[str, Any] = {}
+
+    params["conv_pre"] = {
+        "kernel": _conv_kernel(state_dict, "conv_pre"),
+        "bias": _bias(state_dict, "conv_pre"),
+    }
+
+    num_kernels = len(config.resblock_kernel_sizes)
+    for i in range(len(config.upsample_rates)):
+        params[f"ups_{i}"] = {
+            "kernel": _conv_transpose_kernel(state_dict, f"ups.{i}"),
+            "bias": _bias(state_dict, f"ups.{i}"),
+        }
+        for j in range(num_kernels):
+            n = i * num_kernels + j
+            block: Dict[str, Any] = {}
+            n_convs = len(config.resblock_dilations[j])
+            for c in range(n_convs):
+                block[f"convs1_{c}"] = {
+                    "kernel": _conv_kernel(
+                        state_dict, f"resblocks.{n}.convs1.{c}"
+                    ),
+                    "bias": _bias(state_dict, f"resblocks.{n}.convs1.{c}"),
+                }
+                block[f"convs2_{c}"] = {
+                    "kernel": _conv_kernel(
+                        state_dict, f"resblocks.{n}.convs2.{c}"
+                    ),
+                    "bias": _bias(state_dict, f"resblocks.{n}.convs2.{c}"),
+                }
+            params[f"resblocks_{n}"] = block
+
+    params["conv_post"] = {
+        "kernel": _conv_kernel(state_dict, "conv_post"),
+        "bias": _bias(state_dict, "conv_post"),
+    }
+    return params
+
+
+def load_torch_checkpoint(path: str | Path) -> Mapping[str, Any]:
+    """Load a torch checkpoint and unwrap nested state dicts (the formats
+    the reference accepts: hifigan_pretrained.py:165-200)."""
+    import torch
+
+    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    if hasattr(ckpt, "state_dict"):
+        return ckpt.state_dict()
+    if isinstance(ckpt, dict):
+        for key in ("generator", "model", "state_dict"):
+            if key in ckpt and isinstance(ckpt[key], dict):
+                return ckpt[key]
+        return ckpt
+    raise ValueError(f"unsupported checkpoint type: {type(ckpt)}")
+
+
+def load_pretrained_hifigan(
+    checkpoint_path: str | Path,
+    config: HiFiGANConfig = HiFiGANConfig(),
+    dtype=None,
+):
+    """Checkpoint file → ready-to-run :class:`HiFiGANVocoder`.
+
+    TPU-native replacement for ``get_pretrained_hifigan``
+    (hifigan_pretrained.py:250-283).
+    """
+    import jax.numpy as jnp
+
+    from iris_tts_tpu.models.hifigan import HiFiGANVocoder
+
+    sd = load_torch_checkpoint(checkpoint_path)
+    params = convert_hifigan_state_dict(sd, config)
+    return HiFiGANVocoder(params, config, dtype or jnp.float32)

@@ -1,0 +1,242 @@
+"""HiFiGAN generator as stateless flax modules, TPU-first.
+
+Re-implements the topology of the reference's production vocoder — the torch
+``HiFiGANModel`` (/root/reference/src/iris/hifigan_pretrained.py:74-143) and
+its Keras twin (/root/reference/src/iris/vocoder.py:52-142) — with **torch
+padding semantics** so pretrained speechbrain checkpoints convert exactly:
+
+* Conv1d with explicit same-padding ``(k*d - d) // 2`` (hifigan_pretrained.py
+  :61-62),
+* ConvTranspose1d with ``padding=(k - u) // 2`` output cropping
+  (hifigan_pretrained.py:101-107) — NOT Keras ``'same'`` (the weight-transfer
+  hazard called out in SURVEY.md §2.3).
+
+Layout is time-major ``[B, T, C]`` (channels on the TPU lane dimension);
+weight-norm is folded into plain kernels at conversion time
+(:mod:`iris_tts_tpu.convert.hifigan_torch`). The whole generator is one pure
+function of (params, mel) — jittable, shardable, differentiable (for the GAN
+fine-tune stage).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from iris_tts_tpu.config import HiFiGANConfig
+
+_LRELU_SLOPE = 0.1
+
+
+def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.leaky_relu(x, negative_slope=_LRELU_SLOPE)
+
+
+class TorchConv1d(nn.Module):
+    """1-D convolution with torch's explicit same-padding convention.
+
+    Kernel layout is ``[K, C_in, C_out]`` (a transpose of torch's
+    ``[C_out, C_in, K]``); torch Conv1d is cross-correlation, so no kernel
+    flip is needed on conversion.
+    """
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, d = self.kernel_size, self.dilation
+        pad = (k * d - d) // 2  # hifigan_pretrained.py:61-62
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(0.01),
+            (k, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(self.stride,),
+            padding=[(pad, pad)],
+            rhs_dilation=(d,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=self.dtype,
+        )
+        return y + bias.astype(self.dtype)
+
+
+class TorchConvTranspose1d(nn.Module):
+    """Transposed 1-D convolution matching torch ConvTranspose1d with
+    ``padding=(k - u) // 2``: output length is exactly ``T * u`` when
+    ``k - u`` is even (the HiFiGAN upsampler contract).
+
+    Implemented as an input-dilated regular convolution. The stored kernel is
+    the torch kernel **flipped along K** (and transposed to ``[K, C_in,
+    C_out]``), which turns torch's transposed convolution into XLA
+    cross-correlation; the converter performs the flip.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, u = self.kernel_size, self.stride
+        crop = (k - u) // 2  # hifigan_pretrained.py:105-107
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(0.01),
+            (k, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1,),
+            padding=[(k - 1 - crop, k - 1 - crop)],
+            lhs_dilation=(u,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=self.dtype,
+        )
+        return y + bias.astype(self.dtype)
+
+
+class ResBlock(nn.Module):
+    """HiFiGAN residual block: pairs of (dilated, plain) convs with
+    leaky-relu pre-activations (hifigan_pretrained.py:38-71)."""
+
+    channels: int
+    kernel_size: int
+    dilations: Tuple[int, ...]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilations):
+            h = leaky_relu(x)
+            h = TorchConv1d(
+                self.channels,
+                self.kernel_size,
+                dilation=d,
+                dtype=self.dtype,
+                name=f"convs1_{i}",
+            )(h)
+            h = leaky_relu(h)
+            h = TorchConv1d(
+                self.channels,
+                self.kernel_size,
+                dilation=1,
+                dtype=self.dtype,
+                name=f"convs2_{i}",
+            )(h)
+            x = x + h
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    """Full generator: conv_pre → N×(upsample → MRF resblock average) →
+    conv_post → tanh (hifigan_pretrained.py:123-143).
+
+    Input mel ``[B, T, n_mels]`` (time-major) → waveform ``[B, T * 256]``.
+    """
+
+    config: HiFiGANConfig = HiFiGANConfig()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        num_kernels = len(cfg.resblock_kernel_sizes)
+
+        x = TorchConv1d(
+            cfg.upsample_initial_channel, 7, dtype=self.dtype, name="conv_pre"
+        )(mel)
+
+        for i, (u, k) in enumerate(
+            zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
+        ):
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            x = leaky_relu(x)
+            x = TorchConvTranspose1d(
+                ch, k, u, dtype=self.dtype, name=f"ups_{i}"
+            )(x)
+            # Multi-receptive-field fusion: average of the resblock outputs.
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations)
+            ):
+                out = ResBlock(
+                    ch,
+                    rk,
+                    rd,
+                    dtype=self.dtype,
+                    name=f"resblocks_{i * num_kernels + j}",
+                )(x)
+                acc = out if acc is None else acc + out
+            x = acc / num_kernels
+
+        x = leaky_relu(x)
+        x = TorchConv1d(1, 7, dtype=self.dtype, name="conv_post")(x)
+        x = jnp.tanh(x)
+        return x[..., 0]  # [B, T_samples]
+
+
+# ---------------------------------------------------------------------------
+# Convenience wrappers (API parity with the reference)
+# ---------------------------------------------------------------------------
+
+
+class HiFiGANVocoder:
+    """Stateful convenience wrapper bundling params + jitted apply.
+
+    API parity with the reference's ``HiFiGANVocoder.infer`` shape adapter
+    (/root/reference/src/iris/vocoder.py:145-213) and the torch wrapper's
+    ``__call__`` contract (hifigan_pretrained.py:208-242): accepts mel as
+    ``[n_mels, T]`` or ``[B, n_mels, T]`` (reference layout) and returns
+    ``[samples]`` / ``[B, samples]``.
+    """
+
+    def __init__(
+        self,
+        params,
+        config: HiFiGANConfig = HiFiGANConfig(),
+        dtype: Any = jnp.float32,
+    ):
+        self.config = config
+        self.params = params
+        self.module = HiFiGANGenerator(config=config, dtype=dtype)
+        self._apply = jax.jit(
+            lambda p, m: self.module.apply({"params": p}, m)
+        )
+
+    def __call__(self, mel) -> jnp.ndarray:
+        mel = jnp.asarray(mel)
+        squeeze = mel.ndim == 2
+        if squeeze:
+            mel = mel[None]
+        audio = self._apply(self.params, jnp.swapaxes(mel, -1, -2))
+        return audio[0] if squeeze else audio
+
+    infer = __call__
+
+
+def create_vocoder(
+    config: HiFiGANConfig = HiFiGANConfig(),
+    seed: int = 0,
+    dtype: Any = jnp.float32,
+) -> HiFiGANVocoder:
+    """Build a randomly-initialised vocoder (reference:
+    src/iris/vocoder.py:216-227). Load pretrained weights with
+    :func:`iris_tts_tpu.convert.hifigan_torch.load_pretrained_hifigan`."""
+    module = HiFiGANGenerator(config=config, dtype=dtype)
+    dummy = jnp.zeros((1, 8, config.in_channels), dtype=jnp.float32)
+    params = module.init(jax.random.PRNGKey(seed), dummy)["params"]
+    return HiFiGANVocoder(params, config, dtype)

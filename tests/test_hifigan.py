@@ -1,0 +1,225 @@
+"""HiFiGAN parity tests: flax modules + weight converter vs torch ground
+truth (SURVEY.md §7 hard-part 1).
+
+The torch models built here are *test fixtures* implementing the standard
+published HiFi-GAN generator ops (weight-normed Conv1d / ConvTranspose1d with
+torch padding), used only to produce golden outputs for conversion checks.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from iris_tts_tpu.config import HiFiGANConfig
+from iris_tts_tpu.convert.hifigan_torch import (
+    convert_hifigan_state_dict,
+    _conv_kernel,
+    _conv_transpose_kernel,
+)
+from iris_tts_tpu.models.hifigan import (
+    HiFiGANGenerator,
+    TorchConv1d,
+    TorchConvTranspose1d,
+    create_vocoder,
+)
+
+
+def _wn(mod):
+    return tnn.utils.weight_norm(mod)
+
+
+# ---------------------------------------------------------------------------
+# Per-op parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("k,d", [(3, 1), (7, 3), (11, 5), (5, 2)])
+def test_conv1d_parity(rng, k, d):
+    torch.manual_seed(0)
+    c_in, c_out, t = 6, 9, 32
+    tconv = _wn(tnn.Conv1d(c_in, c_out, k, dilation=d, padding=(k * d - d) // 2))
+    x = rng.standard_normal((2, t, c_in)).astype(np.float32)
+
+    with torch.no_grad():
+        want = (
+            tconv(torch.from_numpy(x.transpose(0, 2, 1)))
+            .numpy()
+            .transpose(0, 2, 1)
+        )
+
+    sd = tconv.state_dict()
+    sd = {f"layer.{k_}": v for k_, v in sd.items()}
+    params = {
+        "kernel": _conv_kernel(sd, "layer"),
+        "bias": sd["layer.bias"].numpy(),
+    }
+    mod = TorchConv1d(c_out, k, dilation=d)
+    got = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("k,u", [(16, 8), (4, 2), (8, 4), (6, 2)])
+def test_conv_transpose1d_parity(rng, k, u):
+    torch.manual_seed(1)
+    c_in, c_out, t = 8, 4, 16
+    tconv = _wn(tnn.ConvTranspose1d(c_in, c_out, k, u, padding=(k - u) // 2))
+    x = rng.standard_normal((2, t, c_in)).astype(np.float32)
+
+    with torch.no_grad():
+        want = (
+            tconv(torch.from_numpy(x.transpose(0, 2, 1)))
+            .numpy()
+            .transpose(0, 2, 1)
+        )
+    assert want.shape[1] == t * u  # torch contract: exact Tu output
+
+    sd = {f"layer.{k_}": v for k_, v in tconv.state_dict().items()}
+    params = {
+        "kernel": _conv_transpose_kernel(sd, "layer"),
+        "bias": sd["layer.bias"].numpy(),
+    }
+    mod = TorchConvTranspose1d(c_out, k, u)
+    got = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Full-generator parity (small config for CPU speed)
+# ---------------------------------------------------------------------------
+
+
+class _TorchResBlock(tnn.Module):
+    def __init__(self, ch, k, dils):
+        super().__init__()
+        self.convs1 = tnn.ModuleList(
+            [
+                _wn(tnn.Conv1d(ch, ch, k, dilation=d, padding=(k * d - d) // 2))
+                for d in dils
+            ]
+        )
+        self.convs2 = tnn.ModuleList(
+            [_wn(tnn.Conv1d(ch, ch, k, padding=(k - 1) // 2)) for _ in dils]
+        )
+
+    def forward(self, x):
+        for c1, c2 in zip(self.convs1, self.convs2):
+            xt = tF.leaky_relu(x, 0.1)
+            xt = c1(xt)
+            xt = tF.leaky_relu(xt, 0.1)
+            xt = c2(xt)
+            x = xt + x
+        return x
+
+
+class _TorchGenerator(tnn.Module):
+    def __init__(self, cfg: HiFiGANConfig):
+        super().__init__()
+        self.cfg = cfg
+        self.conv_pre = _wn(
+            tnn.Conv1d(cfg.in_channels, cfg.upsample_initial_channel, 7, padding=3)
+        )
+        self.ups = tnn.ModuleList()
+        for i, (u, k) in enumerate(
+            zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
+        ):
+            self.ups.append(
+                _wn(
+                    tnn.ConvTranspose1d(
+                        cfg.upsample_initial_channel // (2**i),
+                        cfg.upsample_initial_channel // (2 ** (i + 1)),
+                        k,
+                        u,
+                        padding=(k - u) // 2,
+                    )
+                )
+            )
+        self.resblocks = tnn.ModuleList()
+        for i in range(len(self.ups)):
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            for k, d in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations):
+                self.resblocks.append(_TorchResBlock(ch, k, list(d)))
+        self.conv_post = _wn(tnn.Conv1d(ch, 1, 7, padding=3))
+
+    def forward(self, x):
+        nk = len(self.cfg.resblock_kernel_sizes)
+        x = self.conv_pre(x)
+        for i in range(len(self.ups)):
+            x = tF.leaky_relu(x, 0.1)
+            x = self.ups[i](x)
+            xs = None
+            for j in range(nk):
+                out = self.resblocks[i * nk + j](x)
+                xs = out if xs is None else xs + out
+            x = xs / nk
+        x = tF.leaky_relu(x, 0.1)
+        return torch.tanh(self.conv_post(x))
+
+
+_SMALL = HiFiGANConfig(
+    in_channels=10,
+    upsample_rates=(4, 2),
+    upsample_kernel_sizes=(8, 4),
+    upsample_initial_channel=32,
+    resblock_kernel_sizes=(3, 5),
+    resblock_dilations=((1, 3), (1, 3)),
+)
+
+
+def test_full_generator_parity(rng):
+    torch.manual_seed(42)
+    tgen = _TorchGenerator(_SMALL).eval()
+    mel = rng.standard_normal((2, 17, _SMALL.in_channels)).astype(np.float32)
+
+    with torch.no_grad():
+        want = tgen(torch.from_numpy(mel.transpose(0, 2, 1))).numpy()[:, 0, :]
+
+    params = convert_hifigan_state_dict(tgen.state_dict(), _SMALL)
+    gen = HiFiGANGenerator(config=_SMALL)
+    got = np.asarray(gen.apply({"params": params}, jnp.asarray(mel)))
+
+    assert got.shape == want.shape == (2, 17 * 8)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+    # Typical agreement should be far tighter than the 1e-3 contract.
+    assert np.abs(got - want).max() < 2e-4
+
+
+def test_converted_params_match_init_structure():
+    """Converted tree must be loadable into the module (same treedef)."""
+    torch.manual_seed(0)
+    tgen = _TorchGenerator(_SMALL)
+    params = convert_hifigan_state_dict(tgen.state_dict(), _SMALL)
+    gen = HiFiGANGenerator(config=_SMALL)
+    init = gen.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, _SMALL.in_channels))
+    )["params"]
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(init)[0]
+    paths_a = [p for p, _ in flat_a]
+    paths_b = [p for p, _ in flat_b]
+    assert paths_a == paths_b
+    for (pa, va), (_, vb) in zip(flat_a, flat_b):
+        assert va.shape == vb.shape, pa
+
+
+def test_vocoder_wrapper_shapes():
+    voc = create_vocoder(_SMALL)
+    mel = np.zeros((_SMALL.in_channels, 11), np.float32)  # reference layout
+    audio = np.asarray(voc(mel))
+    assert audio.shape == (11 * 8,)
+    batch = np.zeros((3, _SMALL.in_channels, 11), np.float32)
+    audio_b = np.asarray(voc(batch))
+    assert audio_b.shape == (3, 11 * 8)
+    assert np.all(np.abs(audio_b) <= 1.0)  # tanh output range
+
+
+def test_upsample_factor_is_hop_length():
+    # System contract: total upsampling == hop_length (SURVEY.md §2.5).
+    assert HiFiGANConfig().total_upsample == 256

@@ -1,0 +1,116 @@
+"""Headline benchmark: end-to-end synthesis real-time factor on one chip.
+
+Prints ONE JSON line:
+    {"metric": "synthesis_rtf_per_chip", "value": N, "unit": "x_realtime",
+     "vs_baseline": N}
+
+``value`` = seconds of 22.05 kHz audio generated per wall-clock second by the
+full jitted pipeline (text-side inputs → encoder → durations → device length
+regulation → VAE prior decode → PostNet → HiFiGAN → waveform) at a serving
+batch size, steady state (post-compile), on a single TPU chip.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
+self-set target is >50x real time per chip, so vs_baseline = value / 50.
+Extra diagnostics go to stderr; stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def _wait_for_tpu(max_wait_s: float = 300.0):
+    """The single-chip tunnel sometimes refuses claims for a few minutes
+    after another process releases it — retry with backoff."""
+    import jax
+
+    deadline = time.time() + max_wait_s
+    delay = 5.0
+    while True:
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if time.time() > deadline:
+                print(f"bench: no TPU after {max_wait_s}s ({e}); "
+                      "falling back to CPU", file=sys.stderr)
+                jax.config.update("jax_platforms", "cpu")
+                return jax.devices()
+            print(f"bench: waiting for TPU ({e})", file=sys.stderr)
+            time.sleep(delay)
+            delay = min(delay * 1.5, 30.0)
+
+
+def main() -> None:
+    devices = _wait_for_tpu()
+    print(f"bench: devices = {devices}", file=sys.stderr)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iris_tts_tpu.config import IrisConfig
+    from iris_tts_tpu.models.pipeline import TTSPipeline
+
+    cfg = IrisConfig()
+    pipe = TTSPipeline.initialize(cfg, seed=1337)
+
+    # Serving-shaped workload: batch of 8 utterances, 64 phonemes each,
+    # 1024-frame bucket (≈ 11.9 s of audio per utterance).
+    B, P, T = 8, 64, 1024
+    rng = np.random.default_rng(1337)
+    ids = jnp.asarray(rng.integers(2, len(pipe.vocab), size=(B, P)), jnp.int32)
+    mask = jnp.ones((B, P), jnp.bool_)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def synth(params, ids, mask, key):
+        enc, frames = pipe._stage_a_fn(params, ids, mask)
+        audio, mel, fmask = pipe._stage_b_fn(
+            params, enc, frames, key, total_frames=T
+        )
+        return audio
+
+    # NOTE: force a host transfer of a reduction each iteration —
+    # block_until_ready alone does not reliably block on tunneled backends.
+    t0 = time.time()
+    audio = synth(pipe.params, ids, mask, key)
+    checksum = float(jnp.sum(audio))
+    compile_s = time.time() - t0
+    print(
+        f"bench: compile+first run = {compile_s:.1f}s (sum={checksum:.3f})",
+        file=sys.stderr,
+    )
+
+    # Steady state.
+    n_iters = 10
+    t0 = time.time()
+    for i in range(n_iters):
+        audio = synth(pipe.params, ids, mask, jax.random.fold_in(key, i))
+        float(jnp.sum(audio))
+    wall = (time.time() - t0) / n_iters
+
+    sr = cfg.audio.sample_rate
+    audio_seconds = audio.shape[0] * audio.shape[1] / sr
+    rtf = audio_seconds / wall
+    print(
+        f"bench: {audio_seconds:.1f}s audio in {wall*1e3:.1f}ms "
+        f"({audio.shape}) → {rtf:.1f}x realtime",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "synthesis_rtf_per_chip",
+                "value": round(rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 50.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -161,3 +161,62 @@ def load_pretrained_hifigan(
     sd = load_torch_checkpoint(checkpoint_path)
     params = convert_hifigan_state_dict(sd, config)
     return HiFiGANVocoder(params, config, dtype or jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Singleton convenience API (parity with hifigan_pretrained.py:245-317)
+# ---------------------------------------------------------------------------
+
+_vocoder_instance = None
+_vocoder_checkpoint_path = None
+
+
+def default_checkpoint_path() -> Path:
+    """Default pretrained-checkpoint location. Overridable via the
+    ``IRIS_HIFIGAN_CKPT`` environment variable; otherwise
+    ``models/hifigan/generator.ckpt`` relative to the working directory
+    (the speechbrain ``tts-hifigan-ljspeech`` generator file, as in
+    hifigan_pretrained.py:270-273)."""
+    import os
+
+    env = os.environ.get("IRIS_HIFIGAN_CKPT")
+    if env:
+        return Path(env)
+    return Path("models") / "hifigan" / "generator.ckpt"
+
+
+def get_pretrained_hifigan(
+    checkpoint_path: str | Path | None = None, force_reload: bool = False
+):
+    """Lazy singleton vocoder (reference: hifigan_pretrained.py:250-283)."""
+    global _vocoder_instance, _vocoder_checkpoint_path
+    path = Path(checkpoint_path or default_checkpoint_path())
+    if (
+        force_reload
+        or _vocoder_instance is None
+        or _vocoder_checkpoint_path != path
+    ):
+        if not path.exists():
+            raise FileNotFoundError(
+                f"HiFiGAN checkpoint not found: {path}. Set IRIS_HIFIGAN_CKPT "
+                "or pass checkpoint_path."
+            )
+        _vocoder_instance = load_pretrained_hifigan(path)
+        _vocoder_checkpoint_path = path
+    return _vocoder_instance
+
+
+def infer_hifigan(
+    mel: np.ndarray,
+    sample_rate: int | None = None,
+    hop_length: int | None = None,
+    checkpoint_path: str | Path | None = None,
+) -> np.ndarray:
+    """Mel [n_mels, T] or [B, n_mels, T] → waveform; plugin-entry parity
+    with the reference (hifigan_pretrained.py:286-317)."""
+    del sample_rate, hop_length  # accepted for signature parity
+    vocoder = get_pretrained_hifigan(checkpoint_path)
+    audio = np.asarray(vocoder(mel))
+    if audio.ndim == 2 and audio.shape[0] == 1:
+        audio = audio[0]
+    return audio

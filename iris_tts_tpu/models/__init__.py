@@ -13,6 +13,12 @@ from iris_tts_tpu.models.hifigan import (
     TorchConvTranspose1d,
     create_vocoder,
 )
+from iris_tts_tpu.models.pipeline import (
+    FRAME_BUCKETS,
+    PHONEME_BUCKETS,
+    TTSPipeline,
+    pick_bucket,
+)
 from iris_tts_tpu.models.postnet import PostNet
 from iris_tts_tpu.models.vae import (
     APCoupling,
@@ -34,6 +40,10 @@ __all__ = [
     "TorchConv1d",
     "TorchConvTranspose1d",
     "create_vocoder",
+    "TTSPipeline",
+    "pick_bucket",
+    "PHONEME_BUCKETS",
+    "FRAME_BUCKETS",
     "PostNet",
     "APCoupling",
     "FiLM",

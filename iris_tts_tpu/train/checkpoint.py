@@ -1,0 +1,157 @@
+"""Orbax checkpointing: full train state, atomic, resumable.
+
+The reference saves per-component Keras ``.weights.h5`` files and loses
+optimizer state + RNG on resume (/root/reference/scripts/train_vae.py:241-256,
+498-511; SURVEY.md §5). Here a :class:`CheckpointManager` wraps Orbax with
+the reference's retention policy — best-on-val + every-N-epochs + latest —
+and checkpoints the **entire** :class:`TrainState` (params, optimizer, RNG,
+step, batch_stats, frozen companions) plus the config JSON, so resume is
+bit-exact and architecture mismatches (SURVEY.md §2.6 PostNet case) are
+structurally impossible.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from iris_tts_tpu.config import IrisConfig, config_from_json, config_to_json
+
+logger = logging.getLogger(__name__)
+
+
+class CheckpointManager:
+    """Stage-level checkpoint manager (one directory per training stage)."""
+
+    def __init__(
+        self,
+        directory: str | Path,
+        config: Optional[IrisConfig] = None,
+        keep_every_n: int = 5,
+        max_to_keep: int = 5,
+    ):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                keep_period=keep_every_n,
+                create=True,
+            ),
+        )
+        self.best_metric = float("inf")
+        self._best_file = self.directory / "best_metric.json"
+        if self._best_file.exists():
+            data = json.loads(self._best_file.read_text())
+            self.best_metric = data.get("best_metric", float("inf"))
+        if config is not None:
+            (self.directory / "config.json").write_text(
+                config_to_json(config)
+            )
+
+    # -- save ----------------------------------------------------------------
+
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None,
+             val_metric: Optional[float] = None) -> bool:
+        """Save at ``step``; track best-on-val separately (reference policy:
+        train_encoder.py:281-296). Returns True if this is a new best."""
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(_to_savable(state)),
+            metrics=metrics,
+        )
+        is_best = False
+        if val_metric is not None and val_metric < self.best_metric:
+            self.best_metric = float(val_metric)
+            self._best_file.write_text(
+                json.dumps({"best_metric": self.best_metric, "step": step})
+            )
+            best_dir = self.directory / "best"
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(
+                    best_dir, _to_savable(state), force=True
+                )
+            is_best = True
+        self._mgr.wait_until_finished()
+        return is_best
+
+    # -- restore -------------------------------------------------------------
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of ``state_template`` (same pytree,
+        abstract or concrete arrays)."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.StandardRestore(_to_savable(state_template)),
+        )
+        return _from_savable(state_template, restored)
+
+    def restore_best(self, state_template: Any) -> Any:
+        best_dir = self.directory / "best"
+        if not best_dir.exists():
+            return self.restore(state_template)
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                best_dir, target=_to_savable(state_template)
+            )
+        return _from_savable(state_template, restored)
+
+    def load_config(self) -> IrisConfig:
+        return config_from_json(
+            (self.directory / "config.json").read_text()
+        )
+
+    def close(self):
+        self._mgr.close()
+
+
+def _to_savable(state: Any) -> Any:
+    """TrainState → plain pytree dict (drop the non-pytree optax tx)."""
+    if hasattr(state, "params") and hasattr(state, "opt_state"):
+        return {
+            "step": state.step,
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "rng": state.rng,
+            "batch_stats": state.batch_stats,
+            "frozen": state.frozen,
+        }
+    return state
+
+
+def _from_savable(template: Any, restored: Any) -> Any:
+    if hasattr(template, "params") and hasattr(template, "opt_state"):
+        return template.replace(**restored)
+    return restored
+
+
+# ---------------------------------------------------------------------------
+# Simple single-pytree save/load (for exporting inference params)
+# ---------------------------------------------------------------------------
+
+
+def save_params(path: str | Path, params: Any) -> None:
+    """Save a bare parameter pytree (e.g. TTSPipeline.params) to one
+    directory."""
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+
+
+def load_params(path: str | Path, template: Any = None) -> Any:
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target=template)

@@ -1,0 +1,290 @@
+"""Dataset layer tests: TextGrid parsing, LJSpeech datasets, bucketing."""
+
+import numpy as np
+import pytest
+
+from iris_tts_tpu.config import AudioConfig
+from iris_tts_tpu.data.audio_io import write_wav
+from iris_tts_tpu.data.batching import (
+    BucketedBatcher,
+    collate_duration_batch,
+    collate_vae_batch,
+)
+from iris_tts_tpu.data.ljspeech import (
+    LJSpeechDurationDataset,
+    LJSpeechVAEDataset,
+    Sample,
+    read_metadata,
+    train_val_split,
+)
+from iris_tts_tpu.data.textgrid import (
+    durations_to_frames,
+    load_alignment_cache,
+    load_alignment_phones,
+    parse_textgrid,
+    save_alignment_cache,
+)
+
+_LONG_TG = """File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = 1.0
+tiers? <exists>
+size = 2
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        xmin = 0
+        xmax = 1.0
+        intervals: size = 2
+        intervals [1]:
+            xmin = 0
+            xmax = 0.5
+            text = "hello"
+        intervals [2]:
+            xmin = 0.5
+            xmax = 1.0
+            text = ""
+    item [2]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 1.0
+        intervals: size = 4
+        intervals [1]:
+            xmin = 0
+            xmax = 0.1
+            text = "HH"
+        intervals [2]:
+            xmin = 0.1
+            xmax = 0.3
+            text = "AH"
+        intervals [3]:
+            xmin = 0.3
+            xmax = 0.45
+            text = "L"
+        intervals [4]:
+            xmin = 0.45
+            xmax = 1.0
+            text = ""
+"""
+
+
+def test_parse_long_textgrid():
+    tiers = parse_textgrid(_LONG_TG)
+    assert [t.name for t in tiers] == ["words", "phones"]
+    assert len(tiers[1].intervals) == 4
+    assert tiers[1].intervals[0].text == "HH"
+    assert tiers[1].intervals[3].text == ""
+
+
+def test_load_alignment_phones_skips_silence(tmp_path):
+    p = tmp_path / "x.TextGrid"
+    p.write_text(_LONG_TG)
+    phones = load_alignment_phones(p)
+    # reference contract (alignment.py:148-167): silences skipped
+    assert [ph["phone"] for ph in phones] == ["HH", "AH", "L"]
+    assert abs(phones[1]["duration"] - 0.2) < 1e-9
+
+
+def test_durations_to_frames_convention():
+    # max(1, round(sec*sr/hop)) — datasets.py:363-367
+    phones = [
+        {"phone": "A", "start": 0, "end": 0.001, "duration": 0.001},
+        {"phone": "B", "start": 0, "end": 0.1, "duration": 0.1},
+    ]
+    frames = durations_to_frames(phones, 22050, 256)
+    assert frames[0] == 1  # min 1 frame
+    assert frames[1] == round(0.1 * 22050 / 256)
+
+
+def test_alignment_cache_roundtrip(tmp_path):
+    aligns = {
+        "LJ001-0001": [
+            {"phone": "HH", "start": 0.0, "end": 0.1, "duration": 0.1},
+            {"phone": "AH", "start": 0.1, "end": 0.3, "duration": 0.2},
+        ],
+        "LJ001-0002": [
+            {"phone": "K", "start": 0.0, "end": 0.05, "duration": 0.05},
+        ],
+    }
+    path = tmp_path / "cache.npz"
+    save_alignment_cache(aligns, path)
+    again = load_alignment_cache(path)
+    assert set(again) == set(aligns)
+    assert [p["phone"] for p in again["LJ001-0001"]] == ["HH", "AH"]
+    assert abs(again["LJ001-0001"][1]["duration"] - 0.2) < 1e-6
+
+
+def test_train_val_split_reference_convention():
+    ids = [f"LJ{i:03d}" for i in range(100)]
+    train, val = train_val_split(ids, 0.05)
+    assert len(val) == 5
+    assert val == sorted(ids)[:5]  # first 5% of sorted ids
+    assert not set(train) & set(val)
+
+
+# ---------------------------------------------------------------------------
+# Mini synthetic LJSpeech corpus
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def mini_corpus(tmp_path, rng):
+    root = tmp_path / "LJSpeech-1.1"
+    (root / "wavs").mkdir(parents=True)
+    align_dir = tmp_path / "aligned"
+    align_dir.mkdir()
+    meta_lines = []
+    sr, hop = 22050, 256
+    for i in range(10):
+        sid = f"LJ001-{i:04d}"
+        n_phones = 3 + (i % 3)
+        dur_each = 0.08 + 0.01 * (i % 4)
+        total = n_phones * dur_each
+        audio = (0.1 * rng.standard_normal(int(total * sr) + 512)).astype(
+            np.float32
+        )
+        write_wav(root / "wavs" / f"{sid}.wav", audio, sr)
+        meta_lines.append(f"{sid}|Text {i}|Text {i}")
+        # long-format TextGrid with words + phones tiers
+        phones = ["HH", "AH", "L", "OW", "W"][:n_phones]
+        iv = []
+        t0 = 0.0
+        for ph in phones:
+            iv.append((t0, t0 + dur_each, ph))
+            t0 += dur_each
+        body = "\n".join(
+            f"""        intervals [{j+1}]:
+            xmin = {a}
+            xmax = {b}
+            text = "{p}" """
+            for j, (a, b, p) in enumerate(iv)
+        )
+        tg = f"""File type = "ooTextFile"
+Object class = "TextGrid"
+xmin = 0
+xmax = {t0}
+tiers? <exists>
+size = 2
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        xmin = 0
+        xmax = {t0}
+        intervals: size = 1
+        intervals [1]:
+            xmin = 0
+            xmax = {t0}
+            text = "word"
+    item [2]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = {t0}
+        intervals: size = {len(iv)}
+{body}
+"""
+        (align_dir / f"{sid}.TextGrid").write_text(tg)
+    (root / "metadata.csv").write_text("\n".join(meta_lines))
+    return root, align_dir
+
+
+def test_duration_dataset(mini_corpus, tmp_path):
+    root, align_dir = mini_corpus
+    cache = tmp_path / "cache"
+    ds = LJSpeechDurationDataset(
+        root, align_dir, split="train", cache_dir=cache, val_fraction=0.2
+    )
+    assert len(ds) == 8  # 10 ids, first 20% → val
+    s = ds[0]
+    assert s.phoneme_ids.dtype == np.int32
+    assert s.durations.min() >= 1
+    assert (cache / "phoneme_vocab.json").exists()
+    assert (cache / "alignments.npz").exists()
+
+    val = LJSpeechDurationDataset(
+        root, align_dir, split="val", cache_dir=cache, val_fraction=0.2
+    )
+    assert len(val) == 2
+    assert val.vocab.phoneme_to_id == ds.vocab.phoneme_to_id
+
+
+def test_vae_dataset_mel_cache_and_trim(mini_corpus, tmp_path):
+    root, align_dir = mini_corpus
+    cache = tmp_path / "cache"
+    ds = LJSpeechVAEDataset(
+        root, align_dir, split="train", cache_dir=cache, val_fraction=0.2
+    )
+    n = ds.precompute_mels()
+    assert n == len(ds)
+    s = ds[0]
+    # mel trimmed to sum(durations) (datasets.py:621-624)
+    assert s.mel.shape[0] == s.num_frames
+    assert s.mel.shape[1] == 80
+    # second read comes from cache (no exception, same data)
+    s2 = ds[0]
+    np.testing.assert_array_equal(s.mel, s2.mel)
+
+
+def test_collate_static_shapes():
+    samples = [
+        Sample("a", "", np.array([1, 2, 3], np.int32),
+               np.array([2, 2, 2], np.float32),
+               mel=np.ones((6, 4), np.float32)),
+        Sample("b", "", np.array([4, 5], np.int32),
+               np.array([3, 1], np.float32),
+               mel=np.ones((4, 4), np.float32)),
+    ]
+    b = collate_vae_batch(samples, phoneme_bucket=8, frame_bucket=8,
+                          down_factor=4)
+    assert b["phoneme_ids"].shape == (2, 8)
+    assert b["mel"].shape == (2, 8, 4)
+    assert b["phoneme_mask"].sum() == 5
+    # durations never exceed the frame bucket
+    assert b["durations"].sum(axis=1).max() <= 8
+
+
+def test_collate_duration_clamp_overflow():
+    s = Sample("a", "", np.array([1, 2], np.int32),
+               np.array([10, 10], np.float32),
+               mel=np.ones((8, 4), np.float32))
+    b = collate_vae_batch([s], phoneme_bucket=4, frame_bucket=8)
+    assert b["durations"][0].sum() <= 8
+
+
+def test_bucketed_batcher(mini_corpus, tmp_path):
+    root, align_dir = mini_corpus
+    ds = LJSpeechVAEDataset(
+        root, align_dir, split="train", cache_dir=tmp_path / "c",
+        val_fraction=0.2,
+    )
+    batcher = BucketedBatcher(
+        ds, batch_size=4,
+        phoneme_buckets=(8, 16), frame_buckets=(16, 32, 64),
+    )
+    shapes = set()
+    n_rows = 0
+    for batch in batcher.epoch(0):
+        assert batch["phoneme_ids"].shape[0] == 4  # static batch
+        shapes.add(batch["mel"].shape[1:])
+        n_rows += batch["phoneme_ids"].shape[0]
+    assert n_rows >= len(ds)
+    # small static shape set
+    assert len(shapes) <= 4
+    # deterministic across equal epochs
+    a = [b["phoneme_ids"].tobytes() for b in batcher.epoch(3)]
+    b_ = [b["phoneme_ids"].tobytes() for b in batcher.epoch(3)]
+    assert a == b_
+
+
+def test_read_metadata(tmp_path):
+    (tmp_path / "metadata.csv").write_text(
+        "LJ001-0001|Raw text 1|Normalized one\nLJ001-0002|Raw|Norm two"
+    )
+    meta = read_metadata(tmp_path)
+    assert meta["LJ001-0001"] == "Normalized one"
+    assert meta["LJ001-0002"] == "Norm two"

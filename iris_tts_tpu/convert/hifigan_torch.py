@@ -12,9 +12,9 @@ transfer hazards called out in SURVEY.md §2.3 / §7:
    ``w = v * g / ||v||`` with the norm over all dims except dim 0.
 2. **layout transposition** — torch Conv1d ``[C_out, C_in, K]`` →
    flax ``[K, C_in, C_out]``; ConvTranspose1d ``[C_in, C_out, K]``.
-3. **kernel flip for transposed convs** — torch ConvTranspose is a true
-   convolution; the flax module stores the K-flipped kernel so XLA
-   cross-correlation reproduces it exactly.
+3. **transposed-conv orientation** — torch ConvTranspose is a true
+   convolution; the matmul-based module consumes the kernel in that
+   orientation directly (no flip), per-phase (ops/conv.py).
 
 Supports plain ``weight_g/weight_v`` naming, new-style torch
 ``parametrizations.weight.original0/1``, and already-folded ``weight`` keys.
@@ -69,10 +69,10 @@ def _conv_kernel(sd: Mapping[str, Any], prefix: str) -> np.ndarray:
 
 
 def _conv_transpose_kernel(sd: Mapping[str, Any], prefix: str) -> np.ndarray:
-    """torch ConvTranspose1d weight [C_in, C_out, K] → K-flipped flax
-    [K, C_in, C_out]."""
+    """torch ConvTranspose1d weight [C_in, C_out, K] → [K, C_in, C_out].
+    No flip: the matmul-based transpose conv consumes true-convolution
+    orientation directly (ops/conv.py:conv_transpose1d_mm)."""
     w = _fold_weight(sd, prefix)
-    w = w[:, :, ::-1]  # flip along K
     return np.ascontiguousarray(w.transpose(2, 0, 1)).astype(np.float32)
 
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from iris_tts_tpu.config import DurationConfig, EncoderConfig
+from iris_tts_tpu.models.layers import Conv1d
 
 
 class TransformerBlock(nn.Module):
@@ -134,15 +135,14 @@ class DurationPredictor(nn.Module):
         cfg = self.config
         x = encoder_output
         for i in range(cfg.num_layers):
-            x = nn.Conv(
+            x = Conv1d(
                 cfg.hidden_dim,
-                (cfg.kernel_size,),
-                padding="SAME",
+                cfg.kernel_size,
                 dtype=self.dtype,
                 name=f"conv_{i}",
             )(x)
             x = nn.relu(x)
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm_{i}")(x)
             x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
-        x = nn.Conv(1, (1,), dtype=self.dtype, name="output_proj")(x)
+        x = Conv1d(1, 1, dtype=self.dtype, name="output_proj")(x)
         return nn.softplus(x[..., 0])  # [B, P]

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from iris_tts_tpu.config import HiFiGANConfig
+from iris_tts_tpu.ops.conv import conv1d_mm, conv_transpose1d_mm
 
 _LRELU_SLOPE = 0.1
 
@@ -59,14 +60,12 @@ class TorchConv1d(nn.Module):
             (k, x.shape[-1], self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = jax.lax.conv_general_dilated(
+        y = conv1d_mm(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
-            window_strides=(self.stride,),
-            padding=[(pad, pad)],
-            rhs_dilation=(d,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=self.dtype,
+            stride=self.stride,
+            dilation=d,
+            padding=(pad, pad),
         )
         return y + bias.astype(self.dtype)
 
@@ -76,10 +75,10 @@ class TorchConvTranspose1d(nn.Module):
     ``padding=(k - u) // 2``: output length is exactly ``T * u`` when
     ``k - u`` is even (the HiFiGAN upsampler contract).
 
-    Implemented as an input-dilated regular convolution. The stored kernel is
-    the torch kernel **flipped along K** (and transposed to ``[K, C_in,
-    C_out]``), which turns torch's transposed convolution into XLA
-    cross-correlation; the converter performs the flip.
+    Implemented as per-phase shifted matmuls (:func:`conv_transpose1d_mm`).
+    The stored kernel is the torch kernel transposed to ``[K, C_in, C_out]``
+    in true-convolution orientation (NOT flipped); the converter only
+    transposes.
     """
 
     features: int
@@ -90,21 +89,16 @@ class TorchConvTranspose1d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k, u = self.kernel_size, self.stride
-        crop = (k - u) // 2  # hifigan_pretrained.py:105-107
         kernel = self.param(
             "kernel",
             nn.initializers.normal(0.01),
             (k, x.shape[-1], self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = jax.lax.conv_general_dilated(
+        y = conv_transpose1d_mm(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
-            window_strides=(1,),
-            padding=[(k - 1 - crop, k - 1 - crop)],
-            lhs_dilation=(u,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=self.dtype,
+            stride=u,  # crop defaults to (k-u)//2: hifigan_pretrained.py:105
         )
         return y + bias.astype(self.dtype)
 

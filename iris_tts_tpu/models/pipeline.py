@@ -136,20 +136,24 @@ class TTSPipeline:
         pn = PostNet(config=config.postnet, dtype=dtype)
         hg = HiFiGANGenerator(config=config.hifigan, dtype=dtype)
 
+        # All inits under jit: on tunneled backends eager execution pays a
+        # fixed per-primitive round trip, turning init into minutes.
         ids = jnp.zeros((1, 8), jnp.int32)
-        p_enc = enc.init(k_enc, ids)["params"]
-        enc_out = enc.apply({"params": p_enc}, ids)
-        p_dur = dur.init(k_dur, enc_out)["params"]
+        p_enc = jax.jit(enc.init)(k_enc, ids)["params"]
+        enc_out = jax.jit(enc.apply)({"params": p_enc}, ids)
+        p_dur = jax.jit(dur.init)(k_dur, enc_out)["params"]
         t = config.vae.down_factor * 4
-        p_vae = vae.init(
+        p_vae = jax.jit(vae.init)(
             {"params": k_vae, "sample": k_vae},
             jnp.zeros((1, t, config.vae.n_mels)),
             jnp.zeros((1, t, config.vae.cond_dim)),
         )["params"]
-        pn_vars = pn.init(k_pn, jnp.zeros((1, t, config.postnet.n_mels)))
-        p_hg = hg.init(k_hg, jnp.zeros((1, 8, config.hifigan.in_channels)))[
-            "params"
-        ]
+        pn_vars = jax.jit(pn.init)(
+            k_pn, jnp.zeros((1, t, config.postnet.n_mels))
+        )
+        p_hg = jax.jit(hg.init)(
+            k_hg, jnp.zeros((1, 8, config.hifigan.in_channels))
+        )["params"]
         params = {
             "encoder": p_enc,
             "duration": p_dur,

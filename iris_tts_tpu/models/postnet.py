@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from iris_tts_tpu.config import PostNetConfig
+from iris_tts_tpu.models.layers import Conv1d
 
 
 class PostNet(nn.Module):
@@ -44,10 +45,9 @@ class PostNet(nn.Module):
         cfg = self.config
         h = mel
         for i in range(cfg.num_layers - 1):
-            h = nn.Conv(
+            h = Conv1d(
                 cfg.channels,
-                (cfg.kernel_size,),
-                padding="SAME",
+                cfg.kernel_size,
                 dtype=self.dtype,
                 name=f"conv_{i}",
             )(h)
@@ -60,10 +60,9 @@ class PostNet(nn.Module):
             )(h)
             h = jnp.tanh(h)
             h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
-        res = nn.Conv(
+        res = Conv1d(
             cfg.n_mels,
-            (cfg.kernel_size,),
-            padding="SAME",
+            cfg.kernel_size,
             dtype=self.dtype,
             name="conv_out",
         )(h)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from iris_tts_tpu.config import VAEConfig
+from iris_tts_tpu.models.layers import Conv1d
 
 
 class FiLM(nn.Module):
@@ -65,19 +66,18 @@ class WaveNetResBlock(nn.Module):
         cond: jnp.ndarray,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        h = nn.Conv(
+        h = Conv1d(
             self.channels,
-            (self.kernel_size,),
-            kernel_dilation=(self.dilation,),
-            padding="SAME",
+            self.kernel_size,
+            dilation=self.dilation,
             dtype=self.dtype,
             name="conv",
         )(x)
         h = nn.gelu(h)
         h = FiLM(self.channels, dtype=self.dtype, name="film")(h, cond)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return x + nn.Conv(
-            self.channels, (1,), dtype=self.dtype, name="res_proj"
+        return x + Conv1d(
+            self.channels, 1, dtype=self.dtype, name="res_proj"
         )(h)
 
 
@@ -93,11 +93,10 @@ class TemporalDownsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_stages):
-            x = nn.Conv(
+            x = Conv1d(
                 self.channels,
-                (self.kernel_size,),
-                strides=(2,),
-                padding="SAME",
+                self.kernel_size,
+                stride=2,
                 dtype=self.dtype,
                 name=f"conv_{i}",
             )(x)
@@ -117,10 +116,9 @@ class TemporalUpsample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_stages):
             x = jnp.repeat(x, 2, axis=1)
-            x = nn.Conv(
+            x = Conv1d(
                 self.channels,
-                (self.kernel_size,),
-                padding="SAME",
+                self.kernel_size,
                 dtype=self.dtype,
                 name=f"conv_{i}",
             )(x)
@@ -146,14 +144,13 @@ class APCoupling(nn.Module):
         cond_embed = nn.Dense(half, dtype=self.dtype, name="cond_proj")(cond)
         cond_embed = nn.gelu(cond_embed)
         h = x1 + cond_embed
-        h = nn.Conv(
-            self.hidden_channels, (3,), padding="SAME", dtype=self.dtype,
-            name="net_pre",
+        h = Conv1d(
+            self.hidden_channels, 3, dtype=self.dtype, name="net_pre"
         )(h)
         h = nn.gelu(h)
-        t = nn.Conv(
+        t = Conv1d(
             half,
-            (1,),
+            1,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
@@ -205,8 +202,8 @@ class TextConditionedVAE(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.in_proj = nn.Conv(
-            cfg.model_channels, (1,), dtype=self.dtype, name="in_proj"
+        self.in_proj = Conv1d(
+            cfg.model_channels, 1, dtype=self.dtype, name="in_proj"
         )
         self.enc_blocks = [
             WaveNetResBlock(
@@ -223,8 +220,8 @@ class TextConditionedVAE(nn.Module):
             cfg.model_channels, cfg.down_stages, 5, dtype=self.dtype,
             name="downsample",
         )
-        self.down_cond_proj = nn.Conv(
-            cfg.model_channels, (1,), dtype=self.dtype, name="down_cond_proj"
+        self.down_cond_proj = Conv1d(
+            cfg.model_channels, 1, dtype=self.dtype, name="down_cond_proj"
         )
         self.latent_mean_proj = nn.Dense(
             cfg.latent_dim, dtype=self.dtype, name="latent_mean_proj"
@@ -263,8 +260,8 @@ class TextConditionedVAE(nn.Module):
             cfg.model_channels, cfg.down_stages, 5, dtype=self.dtype,
             name="upsample",
         )
-        self.out_proj = nn.Conv(
-            cfg.n_mels, (1,), dtype=self.dtype, name="out_proj"
+        self.out_proj = Conv1d(
+            cfg.n_mels, 1, dtype=self.dtype, name="out_proj"
         )
         self.residual_proj = nn.Dense(
             cfg.cond_dim, dtype=self.dtype, name="residual_proj"

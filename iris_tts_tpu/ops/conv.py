@@ -1,0 +1,174 @@
+"""1-D convolutions as shifted matmuls — MXU-native conv primitives.
+
+On TPU the systolic array (MXU) eats large matmuls; XLA's 1-D conv lowering
+is both less portable and (on some PJRT backends) dramatically slower than
+the equivalent matmul decomposition. Every convolution in this framework
+therefore lowers to K shifted ``[B*T, C_in] @ [C_in, C_out]`` matmuls:
+
+    y[t] = Σ_j  x[t + j·d − pad] @ W[j]          (direct / dilated)
+    y[u·q + r] = Σ_m x[q − m] @ W[r + u·m]       (transposed, per residue r)
+
+Same FLOPs as the direct convolution, zero im2col memory blowup, and XLA
+fuses the shift-slices into the matmul operands. Supports stride, dilation,
+groups, and torch ConvTranspose semantics (the HiFiGAN upsampler contract,
+reference hifigan_pretrained.py:101-107).
+
+All functions take ``x [B, T, C_in]`` (time-major, channels on the lane
+dim) and kernels in flax layout ``[K, C_in/groups, C_out]``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(a, b, preferred_element_type=a.dtype)
+
+
+def conv1d_mm(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    *,
+    stride: int = 1,
+    dilation: int = 1,
+    padding: Optional[Tuple[int, int]] = None,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """Cross-correlation (torch/flax Conv semantics) via shifted matmuls.
+
+    Args:
+        x: [B, T, C_in].
+        kernel: [K, C_in // groups, C_out].
+        padding: (left, right); default = torch same-padding
+            ``((K·d − d) // 2,) * 2``.
+    Returns:
+        [B, T_out, C_out] with T_out = (T + pl + pr − (K−1)·d − 1)//stride + 1.
+    """
+    k, cin_g, cout = kernel.shape
+    if padding is None:
+        p = (k * dilation - dilation) // 2
+        padding = (p, p)
+    pl, pr = padding
+    xp = jnp.pad(x, ((0, 0), (pl, pr), (0, 0)))
+    t_pad = xp.shape[1]
+    t_out = (t_pad - (k - 1) * dilation - 1) // stride + 1
+
+    if groups > 1:
+        b = x.shape[0]
+        xp = xp.reshape(b, t_pad, groups, cin_g)
+        kg = kernel.reshape(k, cin_g, groups, cout // groups)
+        y = None
+        for j in range(k):
+            start = j * dilation
+            xs = jax.lax.slice_in_dim(
+                xp, start, start + (t_out - 1) * stride + 1, stride, axis=1
+            )
+            contrib = jnp.einsum(
+                "btgc,cgd->btgd", xs, kg[j],
+                preferred_element_type=x.dtype,
+            )
+            y = contrib if y is None else y + contrib
+        return y.reshape(x.shape[0], t_out, cout)
+
+    y = None
+    for j in range(k):
+        start = j * dilation
+        xs = jax.lax.slice_in_dim(
+            xp, start, start + (t_out - 1) * stride + 1, stride, axis=1
+        )
+        contrib = _matmul(xs, kernel[j])
+        y = contrib if y is None else y + contrib
+    return y
+
+
+def conv_transpose1d_mm(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    *,
+    stride: int,
+    crop: Optional[int] = None,
+) -> jnp.ndarray:
+    """Torch ConvTranspose1d via per-residue shifted matmuls.
+
+    Args:
+        x: [B, T, C_in].
+        kernel: [K, C_in, C_out] in **torch orientation along K** (i.e. the
+            true-convolution kernel; NOT pre-flipped).
+        stride: upsampling factor u.
+        crop: output crop per side; default torch ``(K − u) // 2`` so that
+            T_out == T·u when K − u is even (the HiFiGAN contract).
+    Returns:
+        [B, T·u, C_out] (for the default crop and even K−u).
+
+    Derivation: the uncropped output is y[t] = Σ_i x[i]·W[t − i·u] (length
+    (T−1)·u + K, x zero outside [0, T)). With the crop folded in, output
+    index t' = u·j + c maps to t = t' + crop, so per output phase c:
+
+        y_out[u·j + c] = Σ_m  x[j + base_c − m] @ W[r_c + u·m]
+
+    with r_c = (c + crop) mod u and base_c = (c + crop) // u — K matmuls
+    total across phases, then an interleave.
+    """
+    k, cin, cout = kernel.shape
+    u = stride
+    if crop is None:
+        crop = (k - u) // 2
+    b, t, _ = x.shape
+
+    m_max = (k - 1) // u + 1  # max taps in any phase
+    base_max = (u - 1 + crop) // u
+    # Left pad (m_max-1) so x[j − m] resolves; right pad base_max for the
+    # forward offset.
+    xp = jnp.pad(x, ((0, 0), (m_max - 1, base_max), (0, 0)))
+
+    outs = []
+    for c in range(u):
+        r_c = (c + crop) % u
+        base_c = (c + crop) // u
+        y_c = None
+        m = 0
+        while r_c + u * m < k:
+            start = base_c - m + (m_max - 1)
+            xs = jax.lax.slice_in_dim(xp, start, start + t, axis=1)
+            contrib = _matmul(xs, kernel[r_c + u * m])
+            y_c = contrib if y_c is None else y_c + contrib
+            m += 1
+        if y_c is None:
+            y_c = jnp.zeros((b, t, cout), x.dtype)
+        outs.append(y_c)
+
+    # Interleave phases: [B, T, u, C] → [B, T·u, C].
+    return jnp.stack(outs, axis=2).reshape(b, t * u, cout)
+
+
+def conv2d_mm(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    *,
+    strides: Tuple[int, int] = (1, 1),
+    padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0)),
+) -> jnp.ndarray:
+    """Small-kernel 2-D conv via shifted matmuls (for the MPD discriminator's
+    (5,1)/(3,1) kernels). x [B, H, W, C_in], kernel [KH, KW, C_in, C_out]."""
+    kh, kw, cin, cout = kernel.shape
+    (pt, pb), (pl, pr) = padding
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    sh, sw = strides
+    h_out = (xp.shape[1] - kh) // sh + 1
+    w_out = (xp.shape[2] - kw) // sw + 1
+    y = None
+    for i in range(kh):
+        for j in range(kw):
+            xs = xp[
+                :,
+                i : i + (h_out - 1) * sh + 1 : sh,
+                j : j + (w_out - 1) * sw + 1 : sw,
+                :,
+            ]
+            contrib = _matmul(xs, kernel[i, j])
+            y = contrib if y is None else y + contrib
+    return y

@@ -34,9 +34,13 @@ def _lrelu(x):
 
 
 class PeriodDiscriminator(nn.Module):
-    """One MPD sub-discriminator for a fixed period."""
+    """One MPD sub-discriminator for a fixed period.
+
+    ``width`` scales every channel count (1.0 = the paper's sizes; smaller
+    for CPU tests)."""
 
     period: int
+    width: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -48,8 +52,9 @@ class PeriodDiscriminator(nn.Module):
         x = jnp.pad(audio, ((0, 0), (0, pad)), mode="edge")
         x = x.reshape(b, (t + pad) // p, p, 1)  # [B, T/p, p, 1]
 
+        chans = [max(4, int(c * self.width)) for c in (32, 128, 512, 1024)]
         feats: List[jnp.ndarray] = []
-        for i, ch in enumerate((32, 128, 512, 1024)):
+        for i, ch in enumerate(chans):
             x = Conv2dSmall(
                 ch, (5, 1), strides=(3, 1), padding=((2, 2), (0, 0)),
                 dtype=self.dtype, name=f"conv_{i}",
@@ -57,7 +62,7 @@ class PeriodDiscriminator(nn.Module):
             x = _lrelu(x)
             feats.append(x)
         x = Conv2dSmall(
-            1024, (5, 1), padding=((2, 2), (0, 0)), dtype=self.dtype,
+            chans[-1], (5, 1), padding=((2, 2), (0, 0)), dtype=self.dtype,
             name="conv_4",
         )(x)
         x = _lrelu(x)
@@ -71,23 +76,31 @@ class PeriodDiscriminator(nn.Module):
 
 
 class ScaleDiscriminator(nn.Module):
-    """One MSD sub-discriminator (operates on a given audio scale)."""
+    """One MSD sub-discriminator (operates on a given audio scale).
 
+    ``width`` scales every channel count (1.0 = the paper's sizes)."""
+
+    width: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray):
         """audio [B, T] → (logits [B, L], features list)."""
         x = audio[..., None]  # [B, T, 1]
+        w = self.width
+
+        def c(n):  # scaled channels, kept divisible by the largest group
+            return max(16, int(n * w) // 16 * 16)
+
         specs = [
             # (features, kernel, stride, groups)
-            (128, 15, 1, 1),
-            (128, 41, 2, 4),
-            (256, 41, 2, 16),
-            (512, 41, 4, 16),
-            (1024, 41, 4, 16),
-            (1024, 41, 1, 16),
-            (1024, 5, 1, 1),
+            (c(128), 15, 1, 1),
+            (c(128), 41, 2, 4),
+            (c(256), 41, 2, 16),
+            (c(512), 41, 4, 16),
+            (c(1024), 41, 4, 16),
+            (c(1024), 41, 1, 16),
+            (c(1024), 5, 1, 1),
         ]
         feats: List[jnp.ndarray] = []
         for i, (ch, k, s, g) in enumerate(specs):
@@ -111,6 +124,7 @@ def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    width: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -118,7 +132,8 @@ class MultiPeriodDiscriminator(nn.Module):
         logits, feats = [], []
         for p in self.periods:
             l, f = PeriodDiscriminator(
-                period=p, dtype=self.dtype, name=f"period_{p}"
+                period=p, width=self.width, dtype=self.dtype,
+                name=f"period_{p}",
             )(audio)
             logits.append(l)
             feats.append(f)
@@ -127,6 +142,7 @@ class MultiPeriodDiscriminator(nn.Module):
 
 class MultiScaleDiscriminator(nn.Module):
     num_scales: int = 3
+    width: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -136,7 +152,9 @@ class MultiScaleDiscriminator(nn.Module):
         for i in range(self.num_scales):
             if i > 0:
                 x = _avg_pool2(x)
-            l, f = ScaleDiscriminator(dtype=self.dtype, name=f"scale_{i}")(x)
+            l, f = ScaleDiscriminator(
+                width=self.width, dtype=self.dtype, name=f"scale_{i}"
+            )(x)
             logits.append(l)
             feats.append(f)
         return logits, feats
@@ -148,14 +166,17 @@ class HiFiGANDiscriminators(nn.Module):
 
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     num_scales: int = 3
+    width: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray):
         mpd_logits, mpd_feats = MultiPeriodDiscriminator(
-            periods=self.periods, dtype=self.dtype, name="mpd"
+            periods=self.periods, width=self.width, dtype=self.dtype,
+            name="mpd",
         )(audio)
         msd_logits, msd_feats = MultiScaleDiscriminator(
-            num_scales=self.num_scales, dtype=self.dtype, name="msd"
+            num_scales=self.num_scales, width=self.width, dtype=self.dtype,
+            name="msd",
         )(audio)
         return mpd_logits + msd_logits, mpd_feats + msd_feats

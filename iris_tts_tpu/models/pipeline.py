@@ -171,6 +171,107 @@ class TTSPipeline:
             dtype=dtype,
         )
 
+    @classmethod
+    def from_checkpoints(
+        cls,
+        encoder_checkpoint: str | Path,
+        vae_checkpoint: str | Path,
+        postnet_checkpoint: Optional[str | Path] = None,
+        hifigan_checkpoint: Optional[str | Path] = None,
+        config: Optional[IrisConfig] = None,
+        vocab_path: Optional[str | Path] = None,
+        lexicon_path: Optional[str | Path] = None,
+        dtype: Any = jnp.float32,
+    ) -> "TTSPipeline":
+        """Assemble the inference pipeline from trained stage checkpoints
+        (replaces the reference's per-script .h5 wiring,
+        scripts/synthesize.py:93-169).
+
+        ``config`` defaults to the config persisted inside the VAE stage
+        checkpoint directory; ``hifigan_checkpoint`` is a torch
+        ``generator.ckpt`` run through the weight converter. Missing PostNet
+        → VAE output used directly (reference: synthesize.py:168-169).
+        """
+        from iris_tts_tpu.config import load_config
+        from iris_tts_tpu.train.checkpoint import CheckpointManager
+        from iris_tts_tpu.train.state import TrainState, adam_clipped
+
+        vae_dir = Path(vae_checkpoint)
+        if config is None:
+            cfg_file = vae_dir / "config.json"
+            if not cfg_file.exists():
+                cfg_file = vae_dir.parent / "config_vae.json"
+            config = load_config(cfg_file)
+
+        vocab = (
+            PhonemeVocab.load(vocab_path)
+            if vocab_path
+            else PhonemeVocab.default_arpabet()
+        )
+        pipe = cls.initialize(
+            config,
+            vocab=vocab,
+            lexicon_path=lexicon_path,
+            use_postnet=postnet_checkpoint is not None,
+            dtype=dtype,
+        )
+        key = jax.random.PRNGKey(0)
+        tx = adam_clipped(1e-4)
+
+        enc_mgr = CheckpointManager(Path(encoder_checkpoint))
+        enc_state = enc_mgr.restore_best(
+            TrainState.create(
+                {
+                    "encoder": pipe.params["encoder"],
+                    "duration": pipe.params["duration"],
+                },
+                tx, key,
+            )
+        )
+        enc_mgr.close()
+        pipe.params["encoder"] = enc_state.params["encoder"]
+        pipe.params["duration"] = enc_state.params["duration"]
+
+        vae_mgr = CheckpointManager(vae_dir)
+        vae_state = vae_mgr.restore_best(
+            TrainState.create(
+                pipe.params["vae"], tx, key,
+                frozen={"encoder": pipe.params["encoder"]},
+            )
+        )
+        vae_mgr.close()
+        pipe.params["vae"] = vae_state.params
+
+        if postnet_checkpoint is not None:
+            pn_mgr = CheckpointManager(Path(postnet_checkpoint))
+            pn_state = pn_mgr.restore_best(
+                TrainState.create(
+                    pipe.params["postnet"]["params"], tx, key,
+                    batch_stats=pipe.params["postnet"]["batch_stats"],
+                    frozen={
+                        "encoder": pipe.params["encoder"],
+                        "vae": pipe.params["vae"],
+                    },
+                )
+            )
+            pn_mgr.close()
+            pipe.params["postnet"] = {
+                "params": pn_state.params,
+                "batch_stats": pn_state.batch_stats,
+            }
+
+        if hifigan_checkpoint is not None:
+            from iris_tts_tpu.convert.hifigan_torch import (
+                convert_hifigan_state_dict,
+                load_torch_checkpoint,
+            )
+
+            sd = load_torch_checkpoint(hifigan_checkpoint)
+            pipe.params["hifigan"] = convert_hifigan_state_dict(
+                sd, config.hifigan
+            )
+        return pipe
+
     # ------------------------------------------------------------------
     # jitted device stages
     # ------------------------------------------------------------------

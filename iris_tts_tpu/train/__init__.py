@@ -5,6 +5,8 @@ from iris_tts_tpu.train.schedules import (
     warmup_cosine,
     warmup_exponential,
 )
+from iris_tts_tpu.train.gan import make_gan_steps
+from iris_tts_tpu.train.loop import TrainLoop, resume_if_available
 from iris_tts_tpu.train.state import TrainState, adam_clipped
 from iris_tts_tpu.train.steps import (
     make_duration_eval_step,
@@ -15,6 +17,9 @@ from iris_tts_tpu.train.steps import (
 )
 
 __all__ = [
+    "make_gan_steps",
+    "TrainLoop",
+    "resume_if_available",
     "kl_weight_schedule",
     "warmup_cosine",
     "warmup_exponential",

@@ -1,0 +1,150 @@
+"""Generic training loop shared by all stage trainers.
+
+One loop replaces the reference's three copy-pasted epoch loops
+(scripts/train_encoder.py:192-296, train_vae.py:378-511,
+train_postnet.py:294-409): bucketed batches in, jitted step, running means,
+CSV metrics, per-epoch validation, best/periodic full-state checkpoints, and
+resume. Host work per step is limited to the batcher's numpy collation.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax.numpy as jnp
+
+from iris_tts_tpu.train.checkpoint import CheckpointManager
+from iris_tts_tpu.train.state import TrainState
+from iris_tts_tpu.utils.metrics import MetricsWriter, RunningMean
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainLoop:
+    """Configure once, ``run()`` to train.
+
+    Args:
+        state: initial (or restored) TrainState.
+        train_step: jitted ``(state, batch, *extras) → (state, metrics)``.
+        batcher: object with ``epoch(i) → iterator of numpy batch dicts``.
+        num_epochs: total epochs (absolute — resume continues the count).
+        checkpoints: optional CheckpointManager (full-state saves).
+        eval_step: optional ``(params_or_state, batch, *extras) → metrics``.
+        val_batcher: batcher for validation.
+        epoch_extras: ``epoch → tuple`` of extra positional args for the
+            step (e.g. the annealed KL weight, train_vae.py:378-382).
+        eval_extras: same for eval (defaults to epoch_extras).
+        val_metric_key: metric minimised for best-checkpoint tracking.
+    """
+
+    state: TrainState
+    train_step: Callable
+    batcher: Any
+    num_epochs: int
+    checkpoints: Optional[CheckpointManager] = None
+    metrics: Optional[MetricsWriter] = None
+    eval_step: Optional[Callable] = None
+    val_batcher: Optional[Any] = None
+    epoch_extras: Optional[Callable[[int], tuple]] = None
+    eval_extras: Optional[Callable[[int], tuple]] = None
+    val_metric_key: str = "total"
+    checkpoint_every: int = 5
+    log_every_steps: int = 50
+    start_epoch: int = 0
+    uses_frozen_in_eval: bool = True
+
+    history: list = field(default_factory=list)
+
+    def run(self) -> TrainState:
+        state = self.state
+        for epoch in range(self.start_epoch, self.num_epochs):
+            extras = self.epoch_extras(epoch) if self.epoch_extras else ()
+            extras = tuple(jnp.asarray(e) for e in extras)
+            rm = RunningMean()
+            t0 = time.time()
+            n_steps = 0
+            for batch in self.batcher.epoch(epoch):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                state, m = self.train_step(state, batch, *extras)
+                n_steps += 1
+                scal = {k: float(v) for k, v in m.items()}
+                rm.update(scal)
+                if (
+                    self.metrics
+                    and n_steps % self.log_every_steps == 0
+                ):
+                    self.metrics.write(int(state.step), scal)
+            train_means = rm.means()
+            wall = time.time() - t0
+
+            val_means: Dict[str, float] = {}
+            if self.eval_step and self.val_batcher is not None:
+                ev_extras = (
+                    self.eval_extras(epoch)
+                    if self.eval_extras
+                    else extras
+                )
+                ev_extras = tuple(jnp.asarray(e) for e in ev_extras)
+                vm = RunningMean()
+                for batch in self.val_batcher.epoch(0):
+                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                    if self.uses_frozen_in_eval and state.frozen is not None:
+                        m = self.eval_step(
+                            state.params, state.frozen, batch, *ev_extras
+                        )
+                    else:
+                        m = self.eval_step(state.params, batch, *ev_extras)
+                    vm.update({f"val_{k}": float(v) for k, v in m.items()})
+                val_means = vm.means()
+
+            logger.info(
+                "epoch %d/%d (%.1fs, %d steps): train=%s val=%s",
+                epoch + 1, self.num_epochs, wall, n_steps,
+                {k: round(v, 5) for k, v in train_means.items()},
+                {k: round(v, 5) for k, v in val_means.items()},
+            )
+            self.history.append({**train_means, **val_means, "epoch": epoch})
+            if self.metrics:
+                self.metrics.write(
+                    int(state.step), {**train_means, **val_means}
+                )
+
+            if self.checkpoints is not None:
+                val_key = f"val_{self.val_metric_key}"
+                val_metric = val_means.get(
+                    val_key, train_means.get(self.val_metric_key)
+                )
+                if (
+                    (epoch + 1) % self.checkpoint_every == 0
+                    or epoch + 1 == self.num_epochs
+                    or val_metric is not None
+                ):
+                    is_best = self.checkpoints.save(
+                        int(state.step), state, val_metric=val_metric
+                    )
+                    if is_best:
+                        logger.info(
+                            "new best %s=%.5f", val_key, val_metric
+                        )
+        return state
+
+
+def resume_if_available(
+    ckpt: CheckpointManager, template: TrainState,
+    steps_per_epoch: int,
+) -> tuple[TrainState, int]:
+    """Restore the latest checkpoint if one exists; returns (state,
+    start_epoch). Full-state resume (SURVEY.md §5 fix)."""
+    step = ckpt.latest_step()
+    if step is None:
+        return template, 0
+    state = ckpt.restore(template)
+    start_epoch = int(state.step) // max(1, steps_per_epoch)
+    logger.info(
+        "resumed from step %d (epoch %d)", int(state.step), start_epoch
+    )
+    return state, start_epoch

@@ -1,0 +1,117 @@
+"""End-to-end evaluation on a validation sample: predicted vs ground truth.
+
+TPU-native rebuild of /root/reference/scripts/test_synthesis.py:274-335:
+runs the full stack on a validation utterance with ground-truth durations
+AND predicted durations, reports mel MSE/MAE against the ground-truth mel,
+and writes paired generated/reference wavs for listening.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iris_tts_tpu.data.audio_io import load_audio, write_wav
+from iris_tts_tpu.data.ljspeech import LJSpeechVAEDataset
+from iris_tts_tpu.models import TextConditionedVAE
+from iris_tts_tpu.models.pipeline import TTSPipeline
+from iris_tts_tpu.ops.length import length_regulate, round_up_to_multiple
+from scripts.common import add_common_args, resolve_config, setup_logging
+from scripts.train_postnet import load_frozen_vae
+from scripts.train_vae import load_frozen_encoder
+
+logger = logging.getLogger(__name__)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument(
+        "--encoder_checkpoint", type=str,
+        default="outputs/encoder/checkpoints",
+    )
+    parser.add_argument(
+        "--vae_checkpoint", type=str, default="outputs/vae/checkpoints"
+    )
+    parser.add_argument("--hifigan_checkpoint", type=str, default=None)
+    parser.add_argument("--sample_index", type=int, default=0)
+    args = parser.parse_args()
+    setup_logging(args.verbose)
+    vae_cfg_file = Path(args.vae_checkpoint) / "config.json"
+    if vae_cfg_file.exists():
+        args.config = str(vae_cfg_file)
+    cfg = resolve_config(args)
+
+    val_ds = LJSpeechVAEDataset(
+        args.data_root, args.alignment_dir, split="val",
+        cache_dir=args.cache_dir, audio=cfg.audio,
+    )
+    sample = val_ds[args.sample_index]
+    logger.info("sample %s: %d phonemes, %d frames, text=%r",
+                sample.file_id, sample.num_phonemes, sample.num_frames,
+                sample.text[:60])
+
+    frozen_encoder = load_frozen_encoder(cfg, args.encoder_checkpoint)
+    vae_params = load_frozen_vae(cfg, args.vae_checkpoint, frozen_encoder)
+
+    from iris_tts_tpu.models import PhonemeEncoder
+
+    encoder = PhonemeEncoder(config=cfg.encoder)
+    vae = TextConditionedVAE(config=cfg.vae)
+    ids = jnp.asarray(sample.phoneme_ids)[None]
+    durs = jnp.asarray(sample.durations.astype(np.int32))[None]
+    T = round_up_to_multiple(int(durs.sum()), cfg.vae.down_factor)
+
+    @jax.jit
+    def gen_with_gt_durations(key):
+        enc = encoder.apply({"params": frozen_encoder}, ids)
+        cond, mask = length_regulate(enc, durs, T)
+        mel, _ = vae.apply(
+            {"params": vae_params}, cond,
+            method=TextConditionedVAE.generate, rngs={"sample": key},
+        )
+        return mel, mask
+
+    mel_gen, mask = gen_with_gt_durations(jax.random.PRNGKey(0))
+    n = int(np.asarray(mask).sum())
+    mel_gen = np.asarray(mel_gen[0, :n])
+    mel_gt = sample.mel[:n]
+
+    mse = float(np.mean((mel_gen - mel_gt) ** 2))
+    mae = float(np.mean(np.abs(mel_gen - mel_gt)))
+    logger.info("GT-duration mel MSE=%.4f MAE=%.4f "
+                "(rubric: MSE>5 bad, >1 could be better)", mse, mae)
+
+    out = Path(args.output_dir) / "test_synthesis"
+    out.mkdir(parents=True, exist_ok=True)
+    ref_wav = load_audio(
+        Path(args.data_root) / "wavs" / f"{sample.file_id}.wav",
+        cfg.audio.sample_rate,
+    )
+    write_wav(out / "reference.wav", ref_wav, cfg.audio.sample_rate)
+
+    if args.hifigan_checkpoint:
+        from iris_tts_tpu.convert.hifigan_torch import load_pretrained_hifigan
+
+        voc = load_pretrained_hifigan(args.hifigan_checkpoint, cfg.hifigan)
+        audio = np.asarray(voc(mel_gen.T))
+    else:
+        from iris_tts_tpu.ops.griffin_lim import griffin_lim_from_log_mel
+
+        audio = np.asarray(
+            griffin_lim_from_log_mel(jnp.asarray(mel_gen), n_iter=60)
+        )
+    write_wav(out / "generated.wav", audio, cfg.audio.sample_rate)
+    logger.info("wrote %s (generated + reference)", out)
+
+
+if __name__ == "__main__":
+    main()

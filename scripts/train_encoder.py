@@ -1,0 +1,120 @@
+"""Stage 1: train the phoneme encoder + duration predictor on LJSpeech/MFA.
+
+TPU-native rebuild of /root/reference/scripts/train_encoder.py:55-352: one
+jitted train step (masked attention + Huber duration loss), bucketed static
+shapes, optax warmup+cosine, full-state Orbax checkpoints with resume.
+
+Usage:
+    python scripts/train_encoder.py --data_root data/LJSpeech-1.1 \
+        --alignment_dir data/aligned --num_epochs 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from dataclasses import replace
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from iris_tts_tpu.data.batching import BucketedBatcher
+from iris_tts_tpu.data.ljspeech import LJSpeechDurationDataset
+from iris_tts_tpu.models import DurationPredictor, PhonemeEncoder
+from iris_tts_tpu.train import (
+    TrainState,
+    adam_clipped,
+    make_duration_eval_step,
+    make_duration_train_step,
+    warmup_cosine,
+)
+from iris_tts_tpu.train.checkpoint import CheckpointManager
+from iris_tts_tpu.train.loop import TrainLoop, resume_if_available
+from iris_tts_tpu.utils.metrics import MetricsWriter
+from scripts.common import (
+    add_common_args,
+    persist_config,
+    resolve_config,
+    setup_logging,
+)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--max_phoneme_length", type=int, default=256)
+    args = parser.parse_args()
+    setup_logging(args.verbose)
+    cfg = resolve_config(args)
+
+    train_ds = LJSpeechDurationDataset(
+        args.data_root, args.alignment_dir, split="train",
+        cache_dir=args.cache_dir, audio=cfg.audio,
+        max_phoneme_length=args.max_phoneme_length,
+    )
+    val_ds = LJSpeechDurationDataset(
+        args.data_root, args.alignment_dir, split="val",
+        cache_dir=args.cache_dir, audio=cfg.audio,
+        max_phoneme_length=args.max_phoneme_length,
+    )
+    cfg = replace(
+        cfg, encoder=replace(cfg.encoder, vocab_size=len(train_ds.vocab))
+    )
+    out = Path(args.output_dir) / "encoder"
+    persist_config(cfg, out, "config_encoder.json")
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    encoder = PhonemeEncoder(config=cfg.encoder)
+    head = DurationPredictor(config=cfg.duration)
+    ids0 = jnp.zeros((1, 8), jnp.int32)
+    p_enc = jax.jit(encoder.init)(key, ids0)["params"]
+    p_head = jax.jit(head.init)(
+        key, jax.jit(encoder.apply)({"params": p_enc}, ids0)
+    )["params"]
+
+    batcher = BucketedBatcher(
+        train_ds, cfg.train.batch_size, with_mel=False,
+        seed=cfg.train.seed,
+    )
+    val_batcher = BucketedBatcher(
+        val_ds, cfg.train.batch_size, with_mel=False, seed=0,
+    )
+    steps_per_epoch = batcher.num_batches()
+    schedule = warmup_cosine(
+        cfg.train.learning_rate,
+        cfg.train.warmup_epochs * steps_per_epoch,
+        cfg.train.num_epochs * steps_per_epoch,
+    )
+    tx = adam_clipped(schedule, clip_norm=cfg.train.clip_norm)
+    template = TrainState.create(
+        {"encoder": p_enc, "duration": p_head}, tx, key
+    )
+
+    ckpt = CheckpointManager(
+        out / "checkpoints", cfg,
+        keep_every_n=cfg.train.checkpoint_every_epochs,
+    )
+    state, start_epoch = resume_if_available(ckpt, template, steps_per_epoch)
+
+    loop = TrainLoop(
+        state=state,
+        train_step=jax.jit(make_duration_train_step(cfg)),
+        batcher=batcher,
+        num_epochs=cfg.train.num_epochs,
+        checkpoints=ckpt,
+        metrics=MetricsWriter(out / "metrics.csv"),
+        eval_step=jax.jit(make_duration_eval_step(cfg)),
+        val_batcher=val_batcher,
+        val_metric_key="duration_loss",
+        checkpoint_every=cfg.train.checkpoint_every_epochs,
+        start_epoch=start_epoch,
+        uses_frozen_in_eval=False,
+    )
+    loop.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Stage 4 (new): HiFiGAN adversarial fine-tune with MPD/MSD discriminators.
+
+The reference only gestures at GAN training (demo_vocoder.py:139-142);
+this driver completes the story (BASELINE.json config 5): alternating
+discriminator/generator steps with LSGAN + feature-matching + mel losses,
+on (mel, audio) pairs cut from LJSpeech.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iris_tts_tpu.data.audio_io import load_audio
+from iris_tts_tpu.data.ljspeech import LJSpeechVAEDataset
+from iris_tts_tpu.models.discriminators import HiFiGANDiscriminators
+from iris_tts_tpu.models.hifigan import HiFiGANGenerator
+from iris_tts_tpu.ops.stft import log_mel_spectrogram
+from iris_tts_tpu.train import TrainState, adam_clipped
+from iris_tts_tpu.train.checkpoint import CheckpointManager
+from iris_tts_tpu.train.gan import make_gan_steps
+from iris_tts_tpu.utils.metrics import MetricsWriter, RunningMean
+from scripts.common import add_common_args, resolve_config, setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+class AudioSegmentBatcher:
+    """Random fixed-length (mel, audio) segment batches — the standard
+    HiFi-GAN training regime (8192-sample segments)."""
+
+    def __init__(self, dataset, batch_size: int, segment_frames: int,
+                 audio_cfg, seed: int = 1337):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.segment_frames = segment_frames
+        self.audio_cfg = audio_cfg
+        self.seed = seed
+
+    def num_batches(self) -> int:
+        return max(1, len(self.dataset) // self.batch_size)
+
+    def epoch(self, epoch: int):
+        rng = np.random.default_rng(self.seed + epoch)
+        hop = self.audio_cfg.hop_length
+        seg_t = self.segment_frames
+        order = rng.permutation(len(self.dataset))
+        batch_mel, batch_audio = [], []
+        for idx in order:
+            sid = self.dataset.sample_ids[int(idx)]
+            wav = load_audio(
+                Path(self.dataset.root) / "wavs" / f"{sid}.wav",
+                self.audio_cfg.sample_rate,
+            )
+            if len(wav) < seg_t * hop + hop:
+                continue
+            start_frame = int(rng.integers(0, len(wav) // hop - seg_t))
+            audio_seg = wav[start_frame * hop : (start_frame + seg_t) * hop]
+            mel = np.asarray(
+                log_mel_spectrogram(
+                    jnp.asarray(audio_seg), self.audio_cfg
+                )
+            )[:seg_t]
+            batch_mel.append(mel)
+            batch_audio.append(audio_seg)
+            if len(batch_mel) == self.batch_size:
+                yield {
+                    "mel": np.stack(batch_mel),
+                    "audio": np.stack(batch_audio),
+                }
+                batch_mel, batch_audio = [], []
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--segment_frames", type=int, default=32,
+                        help="mel frames per training segment (32 → 8192 "
+                        "samples, the HiFi-GAN paper's segment size)")
+    parser.add_argument(
+        "--init_from_torch", type=str, default=None,
+        help="warm-start generator from a torch generator.ckpt",
+    )
+    args = parser.parse_args()
+    setup_logging(args.verbose)
+    cfg = resolve_config(args)
+
+    ds = LJSpeechVAEDataset(
+        args.data_root, args.alignment_dir, split="train",
+        cache_dir=args.cache_dir, audio=cfg.audio,
+    )
+    batcher = AudioSegmentBatcher(
+        ds, cfg.train.batch_size, args.segment_frames, cfg.audio,
+        seed=cfg.train.seed,
+    )
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    k_g, k_d = jax.random.split(key)
+    gen = HiFiGANGenerator(config=cfg.hifigan)
+    disc = HiFiGANDiscriminators()
+    p_gen = jax.jit(gen.init)(
+        k_g, jnp.zeros((1, args.segment_frames, cfg.hifigan.in_channels))
+    )["params"]
+    if args.init_from_torch:
+        from iris_tts_tpu.convert.hifigan_torch import (
+            convert_hifigan_state_dict,
+            load_torch_checkpoint,
+        )
+
+        p_gen = convert_hifigan_state_dict(
+            load_torch_checkpoint(args.init_from_torch), cfg.hifigan
+        )
+        logger.info("generator warm-started from %s", args.init_from_torch)
+    seg_samples = args.segment_frames * cfg.audio.hop_length
+    p_disc = jax.jit(disc.init)(k_d, jnp.zeros((2, seg_samples)))["params"]
+
+    # AdamW β=(0.8, 0.99) per the HiFi-GAN paper.
+    import optax
+
+    def tx():
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.train.clip_norm),
+            optax.adam(cfg.train.learning_rate, b1=0.8, b2=0.99),
+        )
+
+    gen_state = TrainState.create(p_gen, tx(), k_g)
+    disc_state = TrainState.create(p_disc, tx(), k_d)
+
+    disc_step, gen_step = make_gan_steps(cfg)
+    disc_step = jax.jit(disc_step)
+    gen_step = jax.jit(gen_step)
+
+    out = Path(args.output_dir) / "hifigan_gan"
+    gen_ckpt = CheckpointManager(out / "gen", cfg)
+    disc_ckpt = CheckpointManager(out / "disc", cfg)
+    writer = MetricsWriter(out / "metrics.csv")
+
+    for epoch in range(cfg.train.num_epochs):
+        rm = RunningMean()
+        for batch in batcher.epoch(epoch):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            disc_state, dm = disc_step(gen_state, disc_state, batch)
+            gen_state, gm = gen_step(gen_state, disc_state, batch)
+            rm.update({k: float(v) for k, v in {**dm, **gm}.items()})
+        means = rm.means()
+        logger.info("epoch %d: %s", epoch + 1,
+                    {k: round(v, 4) for k, v in means.items()})
+        writer.write(int(gen_state.step), means)
+        if (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
+            gen_ckpt.save(int(gen_state.step), gen_state,
+                          val_metric=means.get("gen_mel_l1"))
+            disc_ckpt.save(int(disc_state.step), disc_state)
+
+
+if __name__ == "__main__":
+    main()

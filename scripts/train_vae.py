@@ -1,0 +1,163 @@
+"""Stage 2: train the text-conditioned VAE with a frozen encoder.
+
+TPU-native rebuild of /root/reference/scripts/train_vae.py:109-568: device-
+side frame conditioning (no per-step numpy bounce), cached mels, bucketed
+shapes, annealed-KL composite loss, full-state resume.
+
+Usage:
+    python scripts/train_vae.py --encoder_checkpoint outputs/encoder/checkpoints
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from dataclasses import replace
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from iris_tts_tpu.data.batching import BucketedBatcher
+from iris_tts_tpu.data.ljspeech import LJSpeechVAEDataset
+from iris_tts_tpu.models import (
+    DurationPredictor,
+    PhonemeEncoder,
+    TextConditionedVAE,
+)
+from iris_tts_tpu.train import (
+    TrainState,
+    adam_clipped,
+    kl_weight_schedule,
+    make_vae_eval_step,
+    make_vae_train_step,
+    warmup_cosine,
+)
+from iris_tts_tpu.train.checkpoint import CheckpointManager
+from iris_tts_tpu.train.loop import TrainLoop, resume_if_available
+from iris_tts_tpu.utils.metrics import MetricsWriter
+from scripts.common import (
+    add_common_args,
+    persist_config,
+    resolve_config,
+    setup_logging,
+)
+
+
+def load_frozen_encoder(cfg, checkpoint_dir: str | Path):
+    """Pull trained encoder params out of a stage-1 checkpoint
+    (reference equivalent: train_vae.py:188-208)."""
+    key = jax.random.PRNGKey(0)
+    encoder = PhonemeEncoder(config=cfg.encoder)
+    head = DurationPredictor(config=cfg.duration)
+    ids0 = jnp.zeros((1, 8), jnp.int32)
+    p_enc = jax.jit(encoder.init)(key, ids0)["params"]
+    p_head = jax.jit(head.init)(
+        key, jax.jit(encoder.apply)({"params": p_enc}, ids0)
+    )["params"]
+    template = TrainState.create(
+        {"encoder": p_enc, "duration": p_head}, adam_clipped(1e-4), key
+    )
+    mgr = CheckpointManager(Path(checkpoint_dir))
+    state = mgr.restore_best(template)
+    mgr.close()
+    return state.params["encoder"]
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument(
+        "--encoder_checkpoint", type=str,
+        default="outputs/encoder/checkpoints",
+    )
+    parser.add_argument("--max_frames", type=int, default=2048)
+    args = parser.parse_args()
+    setup_logging(args.verbose)
+    cfg = resolve_config(args)
+
+    train_ds = LJSpeechVAEDataset(
+        args.data_root, args.alignment_dir, split="train",
+        cache_dir=args.cache_dir, audio=cfg.audio,
+        max_frames=args.max_frames,
+    )
+    val_ds = LJSpeechVAEDataset(
+        args.data_root, args.alignment_dir, split="val",
+        cache_dir=args.cache_dir, audio=cfg.audio,
+        max_frames=args.max_frames,
+    )
+    print(f"precomputing mel cache: {train_ds.precompute_mels()} new")
+    val_ds.precompute_mels()
+
+    cfg = replace(
+        cfg, encoder=replace(cfg.encoder, vocab_size=len(train_ds.vocab))
+    )
+    out = Path(args.output_dir) / "vae"
+    persist_config(cfg, out, "config_vae.json")
+
+    frozen_encoder = load_frozen_encoder(cfg, args.encoder_checkpoint)
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    vae = TextConditionedVAE(config=cfg.vae)
+    t0 = cfg.vae.down_factor * 4
+    p_vae = jax.jit(vae.init)(
+        {"params": key, "sample": key},
+        jnp.zeros((1, t0, cfg.vae.n_mels)),
+        jnp.zeros((1, t0, cfg.vae.cond_dim)),
+    )["params"]
+
+    batcher = BucketedBatcher(
+        train_ds, cfg.train.batch_size, with_mel=True,
+        down_factor=cfg.vae.down_factor, seed=cfg.train.seed,
+    )
+    val_batcher = BucketedBatcher(
+        val_ds, cfg.train.batch_size, with_mel=True,
+        down_factor=cfg.vae.down_factor, seed=0,
+    )
+    steps_per_epoch = batcher.num_batches()
+    schedule = warmup_cosine(
+        cfg.train.learning_rate,
+        cfg.train.warmup_epochs * steps_per_epoch,
+        cfg.train.num_epochs * steps_per_epoch,
+    )
+    tx = adam_clipped(schedule, clip_norm=cfg.train.clip_norm)
+    template = TrainState.create(
+        p_vae, tx, key, frozen={"encoder": frozen_encoder}
+    )
+
+    ckpt = CheckpointManager(
+        out / "checkpoints", cfg,
+        keep_every_n=cfg.train.checkpoint_every_epochs,
+    )
+    state, start_epoch = resume_if_available(ckpt, template, steps_per_epoch)
+
+    def kl_extras(epoch: int):
+        # Linear KL annealing (reference: train_vae.py:232-239).
+        return (
+            kl_weight_schedule(
+                epoch, cfg.train.kl_weight_start, cfg.train.kl_weight_end,
+                cfg.train.kl_anneal_epochs,
+            ),
+        )
+
+    loop = TrainLoop(
+        state=state,
+        train_step=jax.jit(make_vae_train_step(cfg)),
+        batcher=batcher,
+        num_epochs=cfg.train.num_epochs,
+        checkpoints=ckpt,
+        metrics=MetricsWriter(out / "metrics.csv"),
+        eval_step=jax.jit(make_vae_eval_step(cfg)),
+        val_batcher=val_batcher,
+        epoch_extras=kl_extras,
+        val_metric_key="total",
+        checkpoint_every=cfg.train.checkpoint_every_epochs,
+        start_epoch=start_epoch,
+    )
+    loop.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Mesh/sharding tests on the 8 virtual CPU devices (SURVEY.md §4
+"multi-node without a real cluster")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec
+
+from iris_tts_tpu.config import MeshConfig
+from iris_tts_tpu.parallel.mesh import (
+    build_mesh,
+    data_sharding,
+    replicate_params,
+    shard_batch,
+)
+from iris_tts_tpu.parallel.sharding import (
+    batch_sharding_tree,
+    tp_param_sharding,
+)
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs
+
+
+def test_build_mesh_shapes(devices):
+    mesh = build_mesh(MeshConfig(), devices)
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = build_mesh(
+        MeshConfig(data_parallel=4, model_parallel=2), devices
+    )
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        build_mesh(MeshConfig(data_parallel=3, model_parallel=2), devices)
+
+
+def test_shard_batch_places_on_data_axis(devices):
+    mesh = build_mesh(MeshConfig(), devices)
+    batch = {"x": jnp.arange(16.0).reshape(16, 1)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding.spec == PartitionSpec("data")
+    np.testing.assert_array_equal(
+        np.asarray(sharded["x"]), np.asarray(batch["x"])
+    )
+
+
+def test_tp_param_sharding_rules(devices):
+    cfg = MeshConfig(data_parallel=4, model_parallel=2)
+    mesh = build_mesh(cfg, devices)
+    params = {
+        "wide": jnp.ones((16, 64)),  # shard last dim over model
+        "narrow": jnp.ones((4, 3)),  # too small / indivisible → replicate
+        "vec": jnp.ones((7,)),  # 1-D → replicate
+    }
+    placed = tp_param_sharding(params, mesh, cfg)
+    assert placed["wide"].sharding.spec == PartitionSpec(None, "model")
+    assert placed["narrow"].sharding.spec == PartitionSpec()
+    assert placed["vec"].sharding.spec == PartitionSpec()
+
+
+def test_sharded_computation_matches_single_device(devices):
+    """A jitted matmul over (data, model)-sharded operands must equal the
+    unsharded result — XLA inserts correct collectives."""
+    cfg = MeshConfig(data_parallel=4, model_parallel=2)
+    mesh = build_mesh(cfg, devices)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((16, 32)).astype(np.float32))
+
+    want = np.asarray(x @ w)
+
+    xs = batch_sharding_tree({"x": x}, mesh, cfg)["x"]
+    ws = tp_param_sharding({"w": w}, mesh, cfg)["w"]
+    got = np.asarray(jax.jit(lambda a, b: a @ b)(xs, ws))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_graft_dryrun_multichip(devices):
+    """The driver's multichip validation path itself."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
+
+
+def test_replicate_params(devices):
+    mesh = build_mesh(MeshConfig(), devices)
+    params = {"a": jnp.ones((4, 4))}
+    rep = replicate_params(params, mesh)
+    assert rep["a"].sharding.spec == PartitionSpec()
+    assert len(rep["a"].sharding.device_set) == 8

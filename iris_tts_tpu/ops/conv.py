@@ -26,7 +26,11 @@ import jax.numpy as jnp
 
 
 def _matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.matmul(a, b, preferred_element_type=a.dtype)
+    # Accumulate in f32 even for bf16 operands: the MXU supports bf16-in/
+    # f32-accumulate natively, and the K-tap sum would otherwise lose
+    # precision. The final cast back to the input dtype happens once in the
+    # callers.
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
 
 def conv1d_mm(
@@ -69,10 +73,10 @@ def conv1d_mm(
             )
             contrib = jnp.einsum(
                 "btgc,cgd->btgd", xs, kg[j],
-                preferred_element_type=x.dtype,
+                preferred_element_type=jnp.float32,
             )
             y = contrib if y is None else y + contrib
-        return y.reshape(x.shape[0], t_out, cout)
+        return y.reshape(x.shape[0], t_out, cout).astype(x.dtype)
 
     y = None
     for j in range(k):
@@ -82,7 +86,7 @@ def conv1d_mm(
         )
         contrib = _matmul(xs, kernel[j])
         y = contrib if y is None else y + contrib
-    return y
+    return y.astype(x.dtype)
 
 
 def conv_transpose1d_mm(
@@ -138,11 +142,13 @@ def conv_transpose1d_mm(
             y_c = contrib if y_c is None else y_c + contrib
             m += 1
         if y_c is None:
-            y_c = jnp.zeros((b, t, cout), x.dtype)
+            y_c = jnp.zeros((b, t, cout), jnp.float32)
         outs.append(y_c)
 
     # Interleave phases: [B, T, u, C] → [B, T·u, C].
-    return jnp.stack(outs, axis=2).reshape(b, t * u, cout)
+    return (
+        jnp.stack(outs, axis=2).reshape(b, t * u, cout).astype(x.dtype)
+    )
 
 
 def conv2d_mm(
@@ -171,4 +177,4 @@ def conv2d_mm(
             ]
             contrib = _matmul(xs, kernel[i, j])
             y = contrib if y is None else y + contrib
-    return y
+    return y.astype(x.dtype)

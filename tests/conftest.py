@@ -22,6 +22,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the large unrolled conv graphs (GAN
+# discriminators) take minutes to compile on CPU the first time; cached
+# executables make repeat suite runs fast.
+from pathlib import Path
+
+_CACHE_DIR = Path(__file__).resolve().parent.parent / ".jax_cache_cpu"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import sys
 from pathlib import Path
 

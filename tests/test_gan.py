@@ -32,7 +32,7 @@ def test_mpd_shapes():
     mpd = MultiPeriodDiscriminator(periods=(2, 3), width=0.1)
     audio = jnp.zeros((2, 101))  # not divisible by periods → edge-pad
     params = jax.jit(mpd.init)(jax.random.PRNGKey(0), audio)["params"]
-    logits, feats = mpd.apply({"params": params}, audio)
+    logits, feats = jax.jit(mpd.apply)({"params": params}, audio)
     assert len(logits) == 2 and len(feats) == 2
     for l in logits:
         assert l.shape[0] == 2
@@ -43,7 +43,7 @@ def test_msd_shapes():
     msd = MultiScaleDiscriminator(num_scales=2, width=0.1)
     audio = jnp.zeros((2, 128))
     params = jax.jit(msd.init)(jax.random.PRNGKey(0), audio)["params"]
-    logits, feats = msd.apply({"params": params}, audio)
+    logits, feats = jax.jit(msd.apply)({"params": params}, audio)
     assert len(logits) == 2
     # second scale sees pooled (half-length) audio
     assert logits[1].shape[1] <= logits[0].shape[1]
@@ -105,10 +105,10 @@ def test_gan_steps_run_and_update(rng):
         ),
     }
 
-    d0, dgrads = jax.value_and_grad(disc_loss)(
+    d0, dgrads = jax.jit(jax.value_and_grad(disc_loss))(
         disc_state.params, gen_state.params, batch
     )
-    g0, ggrads = jax.value_and_grad(gen_loss)(
+    g0, ggrads = jax.jit(jax.value_and_grad(gen_loss))(
         gen_state.params, disc_state.params, batch
     )
     assert np.isfinite(float(d0)) and np.isfinite(float(g0))
@@ -149,7 +149,7 @@ def test_make_gan_steps_factory(rng):
         "mel": jnp.zeros((1, T, cfg.hifigan.in_channels)),
         "audio": jnp.zeros((1, T * hop)),
     }
-    disc_state, dm = disc_step(gen_state, disc_state, batch)
-    gen_state, gm = gen_step(gen_state, disc_state, batch)
+    disc_state, dm = jax.jit(disc_step)(gen_state, disc_state, batch)
+    gen_state, gm = jax.jit(gen_step)(gen_state, disc_state, batch)
     for v in {**dm, **gm}.values():
         assert np.isfinite(float(v))

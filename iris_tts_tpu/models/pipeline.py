@@ -179,6 +179,7 @@ class TTSPipeline:
         postnet_checkpoint: Optional[str | Path] = None,
         hifigan_checkpoint: Optional[str | Path] = None,
         config: Optional[IrisConfig] = None,
+        vocab: Optional[PhonemeVocab] = None,
         vocab_path: Optional[str | Path] = None,
         lexicon_path: Optional[str | Path] = None,
         dtype: Any = jnp.float32,
@@ -203,11 +204,18 @@ class TTSPipeline:
                 cfg_file = vae_dir.parent / "config_vae.json"
             config = load_config(cfg_file)
 
-        vocab = (
-            PhonemeVocab.load(vocab_path)
-            if vocab_path
-            else PhonemeVocab.default_arpabet()
-        )
+        if vocab is None:
+            vocab = (
+                PhonemeVocab.load(vocab_path)
+                if vocab_path
+                else PhonemeVocab.default_arpabet()
+            )
+        if len(vocab) != config.encoder.vocab_size:
+            raise ValueError(
+                f"vocab size {len(vocab)} does not match the checkpointed "
+                f"encoder vocab_size {config.encoder.vocab_size}; pass the "
+                "vocab the model was trained with"
+            )
         pipe = cls.initialize(
             config,
             vocab=vocab,

@@ -25,6 +25,11 @@ import jax
 import jax.numpy as jnp
 
 
+# Below this input-channel count, direct convs switch from k shifted
+# matmuls to a single im2col matmul (wider MXU contraction dim).
+_IM2COL_MAX_CIN = 64
+
+
 def _matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     # Accumulate in f32 even for bf16 operands: the MXU supports bf16-in/
     # f32-accumulate natively, and the K-tap sum would otherwise lose
@@ -77,6 +82,26 @@ def conv1d_mm(
             )
             y = contrib if y is None else y + contrib
         return y.reshape(x.shape[0], t_out, cout).astype(x.dtype)
+
+    if k > 1 and cin_g <= _IM2COL_MAX_CIN:
+        # Narrow-channel path: k taps concatenated into ONE [*, k·C_in]
+        # matmul. For C_in ≪ 128 the shifted-sum underuses the 128-wide MXU
+        # contraction dim; im2col widens it to k·C_in at k× input reads —
+        # a good trade exactly when channels are small.
+        cols = [
+            jax.lax.slice_in_dim(
+                xp,
+                j * dilation,
+                j * dilation + (t_out - 1) * stride + 1,
+                stride,
+                axis=1,
+            )
+            for j in range(k)
+        ]
+        stacked = jnp.concatenate(cols, axis=-1)  # [B, T_out, k*C_in]
+        return _matmul(stacked, kernel.reshape(k * cin_g, cout)).astype(
+            x.dtype
+        )
 
     y = None
     for j in range(k):

@@ -22,6 +22,7 @@ cache is keyed by bucket shape so steady-state synthesis never recompiles.
 
 from __future__ import annotations
 
+import json
 import logging
 from dataclasses import dataclass, field
 from functools import partial
@@ -278,6 +279,53 @@ class TTSPipeline:
             pipe.params["hifigan"] = convert_hifigan_state_dict(
                 sd, config.hifigan
             )
+        return pipe
+
+    # ------------------------------------------------------------------
+    # deployment artifacts
+    # ------------------------------------------------------------------
+
+    def save(self, path: str | Path) -> None:
+        """Export the assembled pipeline (params + config + vocab) as one
+        deployable directory."""
+        from iris_tts_tpu.config import save_config
+        from iris_tts_tpu.train.checkpoint import save_params
+
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        save_params(path / "params", self.params)
+        save_config(self.config, path / "config.json")
+        self.vocab.save(path / "vocab.json")
+        (path / "meta.json").write_text(
+            json.dumps({"use_postnet": self.use_postnet, "seed": self.seed})
+        )
+
+    @classmethod
+    def load(
+        cls,
+        path: str | Path,
+        lexicon_path: Optional[str | Path] = None,
+        dtype: Any = jnp.float32,
+    ) -> "TTSPipeline":
+        """Load a pipeline exported with :meth:`save`."""
+        import json as _json
+
+        from iris_tts_tpu.config import load_config
+        from iris_tts_tpu.train.checkpoint import load_params
+
+        path = Path(path)
+        config = load_config(path / "config.json")
+        vocab = PhonemeVocab.load(path / "vocab.json")
+        meta = _json.loads((path / "meta.json").read_text())
+        pipe = cls.initialize(
+            config,
+            vocab=vocab,
+            lexicon_path=lexicon_path,
+            use_postnet=meta.get("use_postnet", True),
+            seed=meta.get("seed", 1337),
+            dtype=dtype,
+        )
+        pipe.params = load_params(path / "params", template=pipe.params)
         return pipe
 
     # ------------------------------------------------------------------

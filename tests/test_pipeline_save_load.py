@@ -1,0 +1,48 @@
+"""Pipeline export/load round trip: one deployable directory."""
+
+import numpy as np
+
+from iris_tts_tpu.config import (
+    DurationConfig,
+    EncoderConfig,
+    HiFiGANConfig,
+    IrisConfig,
+    PostNetConfig,
+    VAEConfig,
+)
+from iris_tts_tpu.models import TTSPipeline
+
+
+def _cfg():
+    return IrisConfig(
+        encoder=EncoderConfig(vocab_size=41, embed_dim=16, num_blocks=1,
+                              num_heads=2),
+        duration=DurationConfig(hidden_dim=8, num_layers=1),
+        vae=VAEConfig(n_mels=8, cond_dim=16, model_channels=8, latent_dim=4,
+                      num_wavenet_blocks=1, decoder_blocks=1, flow_layers=1,
+                      flow_hidden=8),
+        postnet=PostNetConfig(n_mels=8, num_layers=2, channels=8),
+        hifigan=HiFiGANConfig(in_channels=8, upsample_rates=(4, 2),
+                              upsample_kernel_sizes=(8, 4),
+                              upsample_initial_channel=16,
+                              resblock_kernel_sizes=(3,),
+                              resblock_dilations=((1,),)),
+    )
+
+
+def test_save_load_roundtrip(tmp_path):
+    pipe = TTSPipeline.initialize(_cfg(), seed=7)
+    pipe.phoneme_buckets = (16,)
+    pipe.frame_buckets = (32,)
+    want = pipe.synthesize("hello world", seed=3)
+
+    pipe.save(tmp_path / "deploy")
+    again = TTSPipeline.load(tmp_path / "deploy")
+    again.phoneme_buckets = (16,)
+    again.frame_buckets = (32,)
+    got = again.synthesize("hello world", seed=3)
+
+    np.testing.assert_array_equal(got, want)
+    assert again.config == pipe.config
+    assert again.vocab.phoneme_to_id == pipe.vocab.phoneme_to_id
+    assert again.use_postnet == pipe.use_postnet

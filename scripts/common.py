@@ -16,9 +16,12 @@ from iris_tts_tpu.config import IrisConfig, load_config, save_config
 
 
 def setup_logging(verbose: bool = False) -> None:
+    # force=True: jax/absl may have installed a root handler already, which
+    # would silently turn basicConfig into a no-op.
     logging.basicConfig(
         level=logging.DEBUG if verbose else logging.INFO,
         format="%(asctime)s - %(levelname)s - %(message)s",
+        force=True,
     )
 
 

@@ -1,0 +1,129 @@
+"""CLI driver smoke tests: each script runs as a real subprocess."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+SMALL_CFG = {
+    "encoder": {"vocab_size": 41, "embed_dim": 16, "num_blocks": 1,
+                "num_heads": 2},
+    "duration": {"hidden_dim": 8, "num_layers": 1},
+    "vae": {"n_mels": 16, "cond_dim": 16, "model_channels": 8,
+            "latent_dim": 4, "num_wavenet_blocks": 1, "decoder_blocks": 1,
+            "flow_layers": 1, "flow_hidden": 8},
+    "postnet": {"n_mels": 16, "num_layers": 2, "channels": 8},
+    "hifigan": {"in_channels": 16, "upsample_rates": [4, 2],
+                "upsample_kernel_sizes": [8, 4],
+                "upsample_initial_channel": 16,
+                "resblock_kernel_sizes": [3],
+                "resblock_dilations": [[1]]},
+}
+
+
+def _run(args, timeout=420):
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin:/usr/local/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+    return subprocess.run(
+        [sys.executable, *args], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.fixture
+def small_cfg_file(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(SMALL_CFG))
+    return p
+
+
+def test_synthesize_cli_random_weights(small_cfg_file, tmp_path):
+    out = tmp_path / "out.wav"
+    r = _run([
+        "scripts/synthesize.py", "--random_weights",
+        "--config", str(small_cfg_file),
+        "--text", "hello world",
+        "--output_wav", str(out),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 100
+
+    from iris_tts_tpu.data.audio_io import read_wav
+
+    audio, sr = read_wav(out)
+    assert sr == 22050 and len(audio) > 0
+
+
+def test_encoder_setup_cli(small_cfg_file):
+    r = _run(["scripts/test_encoder_setup.py", "--config",
+              str(small_cfg_file)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SETUP OK" in r.stdout
+
+
+def test_vae_setup_cli(small_cfg_file):
+    r = _run(["scripts/test_vae_setup.py", "--config", str(small_cfg_file)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SETUP OK" in r.stdout
+    assert "flow invertibility" in r.stdout
+
+
+def test_hifigan_integration_cli():
+    r = _run(["test_hifigan_integration.py"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ALL CHECKS PASSED" in r.stdout
+
+
+def test_demo_text_processing_cli():
+    r = _run(["demo_text_processing.py", "--text", "Dr. Who saw 3 cats."])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "doctor who saw three cats." in r.stdout
+
+
+def test_train_encoder_cli_end_to_end_with_resume(small_cfg_file, tmp_path):
+    """Full CLI training path: corpus on disk → 2 epochs → checkpoints →
+    resume continues from the saved step."""
+    from tests.corpus_utils import build_mini_corpus
+
+    root, align = build_mini_corpus(tmp_path, n=8)
+    out = tmp_path / "outputs"
+    args = [
+        "scripts/train_encoder.py",
+        "--config", str(small_cfg_file),
+        "--data_root", str(root),
+        "--alignment_dir", str(align),
+        "--cache_dir", str(tmp_path / "cache"),
+        "--output_dir", str(out),
+        "--batch_size", "4",
+        "--num_epochs", "2",
+    ]
+    r = _run(args)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpt_dir = out / "encoder" / "checkpoints"
+    assert ckpt_dir.exists()
+    assert (out / "encoder" / "config_encoder.json").exists()
+    assert (out / "encoder" / "metrics.csv").exists()
+
+    # Resume: bump epochs, rerun — must log a resume and finish.
+    args[args.index("--num_epochs") + 1] = "3"
+    r2 = _run(args)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed from step" in (r2.stderr + r2.stdout)
+
+
+def test_bench_train_cli_shape():
+    """bench_train emits exactly one JSON line on stdout (tiny shapes)."""
+    r = _run([
+        "scripts/bench_train.py", "--batch_size", "2", "--frames", "32",
+        "--phonemes", "8", "--iters", "2",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "vae_train_mel_frames_per_sec"
+    assert payload["value"] > 0

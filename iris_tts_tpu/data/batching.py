@@ -118,24 +118,37 @@ class BucketedBatcher:
             if len(bins[key]) == self.batch_size:
                 yield self._collate(bins.pop(key), key)
         if not self.drop_last:
-            # Flush remainders (padded up to batch_size with repeats so the
-            # batch shape stays static; mask handles correctness).
+            # Flush remainders, padding to the static batch size by cycling
+            # the bin's real samples; the padded rows are then masked out of
+            # every loss (phoneme mask and durations zeroed in _collate).
             for key, samples in sorted(
                 bins.items(), key=lambda kv: kv[0]
             ):
+                n_real = len(samples)
                 while len(samples) < self.batch_size:
-                    samples.append(samples[len(samples) % len(samples)])
-                yield self._collate(samples, key)
+                    samples.append(samples[len(samples) % n_real])
+                yield self._collate(samples, key, n_real=n_real)
 
-    def _collate(self, samples: List[Sample], key: Tuple[int, int]):
+    def _collate(self, samples: List[Sample], key: Tuple[int, int],
+                 n_real: Optional[int] = None):
         p, t = key
         if self.with_mel:
-            return collate_vae_batch(
+            batch = collate_vae_batch(
                 samples, p, t, self.pad_id, self.down_factor
             )
-        return collate_duration_batch(samples, p, self.pad_id)
+        else:
+            batch = collate_duration_batch(samples, p, self.pad_id)
+        if n_real is not None and n_real < len(samples):
+            # Padding rows contribute nothing: masked losses divide by
+            # mask sums, and zero durations yield an all-zero frame mask.
+            batch["phoneme_mask"][n_real:] = 0.0
+            batch["durations"][n_real:] = 0.0
+        return batch
 
     def num_batches(self) -> int:
+        """Lower bound on batches per epoch (remainder flushing adds up to
+        one extra batch per occupied bucket bin). Epoch accounting must not
+        rely on this — TrainState tracks the epoch directly."""
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size

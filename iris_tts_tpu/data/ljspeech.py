@@ -227,10 +227,11 @@ class LJSpeechVAEDataset(LJSpeechDurationDataset):
         everywhere else (ops.stft) — one numerical contract, one cache."""
         import jax.numpy as jnp
 
+        from iris_tts_tpu.data.native import load_audio as native_load_audio
         from iris_tts_tpu.ops.stft import log_mel_spectrogram
 
         wav_path = self.root / "wavs" / f"{sid}.wav"
-        audio = load_audio(wav_path, self.audio.sample_rate)
+        audio = native_load_audio(wav_path, self.audio.sample_rate)
         mel = log_mel_spectrogram(jnp.asarray(audio), self.audio)
         return np.asarray(mel, np.float32)  # [T, n_mels]
 

@@ -151,6 +151,16 @@ def read_wav_batch(
     return audio, lengths, rates
 
 
+def load_audio(path: str | Path, sample_rate: int = 22050) -> np.ndarray:
+    """Mono float32 at ``sample_rate`` via the native decoder (Python
+    fallback) + polyphase resample — the preferred loader for the training
+    input pipeline."""
+    from iris_tts_tpu.data.audio_io import resample
+
+    mono, sr = read_wav_mono(path)
+    return resample(mono, sr, sample_rate)
+
+
 def write_wav_pcm16(path: str | Path, samples: np.ndarray,
                     sample_rate: int) -> None:
     lib = get_lib()

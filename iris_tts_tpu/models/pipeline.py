@@ -196,7 +196,6 @@ class TTSPipeline:
         """
         from iris_tts_tpu.config import load_config
         from iris_tts_tpu.train.checkpoint import CheckpointManager
-        from iris_tts_tpu.train.state import TrainState, adam_clipped
 
         vae_dir = Path(vae_checkpoint)
         if config is None:
@@ -224,49 +223,26 @@ class TTSPipeline:
             use_postnet=postnet_checkpoint is not None,
             dtype=dtype,
         )
-        key = jax.random.PRNGKey(0)
-        tx = adam_clipped(1e-4)
-
+        # Template-free restores: stage checkpoints carry the optimizer
+        # state of whatever schedule trained them, which never matches an
+        # inference-side template — only the params subtree is taken.
         enc_mgr = CheckpointManager(Path(encoder_checkpoint))
-        enc_state = enc_mgr.restore_best(
-            TrainState.create(
-                {
-                    "encoder": pipe.params["encoder"],
-                    "duration": pipe.params["duration"],
-                },
-                tx, key,
-            )
-        )
+        enc_params = enc_mgr.restore_best_params()
         enc_mgr.close()
-        pipe.params["encoder"] = enc_state.params["encoder"]
-        pipe.params["duration"] = enc_state.params["duration"]
+        pipe.params["encoder"] = enc_params["encoder"]
+        pipe.params["duration"] = enc_params["duration"]
 
         vae_mgr = CheckpointManager(vae_dir)
-        vae_state = vae_mgr.restore_best(
-            TrainState.create(
-                pipe.params["vae"], tx, key,
-                frozen={"encoder": pipe.params["encoder"]},
-            )
-        )
+        pipe.params["vae"] = vae_mgr.restore_best_params()
         vae_mgr.close()
-        pipe.params["vae"] = vae_state.params
 
         if postnet_checkpoint is not None:
             pn_mgr = CheckpointManager(Path(postnet_checkpoint))
-            pn_state = pn_mgr.restore_best(
-                TrainState.create(
-                    pipe.params["postnet"]["params"], tx, key,
-                    batch_stats=pipe.params["postnet"]["batch_stats"],
-                    frozen={
-                        "encoder": pipe.params["encoder"],
-                        "vae": pipe.params["vae"],
-                    },
-                )
-            )
+            pn_raw = pn_mgr.restore_best_raw()
             pn_mgr.close()
             pipe.params["postnet"] = {
-                "params": pn_state.params,
-                "batch_stats": pn_state.batch_stats,
+                "params": pn_raw["params"],
+                "batch_stats": pn_raw["batch_stats"],
             }
 
         if hifigan_checkpoint is not None:
@@ -389,6 +365,14 @@ class TTSPipeline:
         ]
         lengths = np.array([len(i) for i in id_lists], np.int32)
         p_bucket = pick_bucket(int(lengths.max()), self.phoneme_buckets)
+        if int(lengths.max()) > p_bucket:
+            logger.warning(
+                "utterance with %d phonemes exceeds the largest phoneme "
+                "bucket (%d); the tail will be truncated — raise "
+                "pipeline.phoneme_buckets or split the text",
+                int(lengths.max()), p_bucket,
+            )
+            lengths = np.minimum(lengths, p_bucket)
         ids = np.full((len(texts), p_bucket), self.vocab.pad_id, np.int32)
         for row, seq in zip(ids, id_lists):
             row[: len(seq)] = seq[:p_bucket]

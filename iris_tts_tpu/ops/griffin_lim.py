@@ -51,17 +51,15 @@ def mel_to_linear(log_mel: jnp.ndarray, cfg: AudioConfig = AudioConfig()):
 
 
 def _stft_complex(audio, cfg: AudioConfig):
-    pad = cfg.n_fft // 2
-    padded = jnp.pad(audio, (pad, pad), mode="reflect")
-    num_frames = 1 + audio.shape[-1] // cfg.hop_length
-    idx = (
-        np.arange(num_frames)[:, None] * cfg.hop_length
-        + np.arange(cfg.n_fft)[None, :]
-    )
+    # Framing shared with the mel extractor (ops/stft.py) so the analysis
+    # STFT can never drift from the features it inverts.
+    from iris_tts_tpu.ops.stft import frame_signal
+
+    frames = frame_signal(audio, cfg.n_fft, cfg.hop_length, cfg.pad_mode)
     win = jnp.asarray(
         _synthesis_window(cfg.n_fft, cfg.win_length, cfg.hop_length)
     )
-    return jnp.fft.rfft(padded[idx] * win, axis=-1)
+    return jnp.fft.rfft(frames * win, axis=-1)
 
 
 def _istft(spec, n_samples: int, cfg: AudioConfig):

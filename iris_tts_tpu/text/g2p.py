@@ -20,7 +20,7 @@ _DIGRAPHS = [
     ("tion", ["SH", "AH", "N"]),
     ("sion", ["ZH", "AH", "N"]),
     ("ough", ["AO"]),
-    ("augh", ["AE F"]),
+    ("augh", ["AE", "F"]),
     ("eigh", ["EY"]),
     ("igh", ["AY"]),
     ("tch", ["CH"]),

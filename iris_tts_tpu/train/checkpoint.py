@@ -109,6 +109,34 @@ class CheckpointManager:
             )
         return _from_savable(state_template, restored)
 
+    # -- template-free restore (cross-stage loading) --------------------------
+
+    def restore_raw(self, step: Optional[int] = None) -> dict:
+        """Restore the checkpoint as a raw pytree dict (keys: step, params,
+        opt_state, rng, batch_stats, frozen) WITHOUT a structure template.
+
+        Use this when only a subtree (typically ``params``) is needed and
+        the consumer's optimizer differs from the one that trained the
+        stage — a template-based restore would fail on the ``opt_state``
+        structure mismatch.
+        """
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore())
+
+    def restore_best_raw(self) -> dict:
+        best_dir = self.directory / "best"
+        if not best_dir.exists():
+            return self.restore_raw()
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(best_dir)
+
+    def restore_best_params(self) -> Any:
+        """The trained ``params`` subtree of the best (or latest)
+        checkpoint, with no optimizer-structure coupling."""
+        return self.restore_best_raw()["params"]
+
     def load_config(self) -> IrisConfig:
         return config_from_json(
             (self.directory / "config.json").read_text()
@@ -123,6 +151,7 @@ def _to_savable(state: Any) -> Any:
     if hasattr(state, "params") and hasattr(state, "opt_state"):
         return {
             "step": state.step,
+            "epoch": state.epoch,
             "params": state.params,
             "opt_state": state.opt_state,
             "rng": state.rng,

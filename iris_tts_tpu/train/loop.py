@@ -64,21 +64,30 @@ class TrainLoop:
         for epoch in range(self.start_epoch, self.num_epochs):
             extras = self.epoch_extras(epoch) if self.epoch_extras else ()
             extras = tuple(jnp.asarray(e) for e in extras)
-            rm = RunningMean()
             t0 = time.time()
             n_steps = 0
+            sums = None  # device-side metric accumulation: no per-step sync
             for batch in self.batcher.epoch(epoch):
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 state, m = self.train_step(state, batch, *extras)
                 n_steps += 1
-                scal = {k: float(v) for k, v in m.items()}
-                rm.update(scal)
+                sums = (
+                    m
+                    if sums is None
+                    else {k: sums[k] + m[k] for k in sums}
+                )
                 if (
                     self.metrics
                     and n_steps % self.log_every_steps == 0
                 ):
-                    self.metrics.write(int(state.step), scal)
-            train_means = rm.means()
+                    self.metrics.write(
+                        int(state.step), {k: float(v) for k, v in m.items()}
+                    )
+            train_means = (
+                {k: float(v) / n_steps for k, v in sums.items()}
+                if sums
+                else {}
+            )
             wall = time.time() - t0
 
             val_means: Dict[str, float] = {}
@@ -113,16 +122,23 @@ class TrainLoop:
                     int(state.step), {**train_means, **val_means}
                 )
 
+            state = state.replace(
+                epoch=jnp.asarray(epoch + 1, jnp.int32)
+            )
             if self.checkpoints is not None:
                 val_key = f"val_{self.val_metric_key}"
                 val_metric = val_means.get(
                     val_key, train_means.get(self.val_metric_key)
                 )
-                if (
+                periodic = (
                     (epoch + 1) % self.checkpoint_every == 0
                     or epoch + 1 == self.num_epochs
-                    or val_metric is not None
-                ):
+                )
+                new_best = (
+                    val_metric is not None
+                    and val_metric < self.checkpoints.best_metric
+                )
+                if periodic or new_best:
                     is_best = self.checkpoints.save(
                         int(state.step), state, val_metric=val_metric
                     )
@@ -135,15 +151,18 @@ class TrainLoop:
 
 def resume_if_available(
     ckpt: CheckpointManager, template: TrainState,
-    steps_per_epoch: int,
+    steps_per_epoch: int = 0,
 ) -> tuple[TrainState, int]:
     """Restore the latest checkpoint if one exists; returns (state,
-    start_epoch). Full-state resume (SURVEY.md §5 fix)."""
+    start_epoch). Full-state resume (SURVEY.md §5 fix). The epoch comes
+    from the checkpointed counter itself (``steps_per_epoch`` is unused and
+    kept for call-site compatibility)."""
+    del steps_per_epoch
     step = ckpt.latest_step()
     if step is None:
         return template, 0
     state = ckpt.restore(template)
-    start_epoch = int(state.step) // max(1, steps_per_epoch)
+    start_epoch = int(state.epoch)
     logger.info(
         "resumed from step %d (epoch %d)", int(state.step), start_epoch
     )

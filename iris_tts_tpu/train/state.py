@@ -26,6 +26,11 @@ class TrainState:
     opt_state: Any
     rng: jax.Array
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Completed-epoch counter, advanced by the training loop; resume reads
+    # it directly instead of guessing from step // steps_per_epoch.
+    epoch: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
     # Non-trained collections (e.g. PostNet batch_stats); None-safe pytree.
     batch_stats: Any = None
     # Frozen companion params (e.g. pretrained encoder during VAE training,

@@ -38,6 +38,12 @@ def main() -> None:
     print(f"devices: {jax.devices()}", file=sys.stderr)
     cfg = IrisConfig()
     B, P, T = args.batch_size, args.phonemes, args.frames
+    if T % max(1, P) != 0 or T // P < 1:
+        parser.error(f"--frames ({T}) must be a positive multiple of "
+                     f"--phonemes ({P})")
+    if T % cfg.vae.down_factor != 0:
+        parser.error(f"--frames ({T}) must be a multiple of the VAE "
+                     f"downsample factor ({cfg.vae.down_factor})")
 
     key = jax.random.PRNGKey(0)
     encoder = PhonemeEncoder(config=cfg.encoder)

@@ -21,7 +21,6 @@ import numpy as np
 from iris_tts_tpu.data.batching import BucketedBatcher
 from iris_tts_tpu.data.ljspeech import LJSpeechDurationDataset
 from iris_tts_tpu.models import DurationPredictor, PhonemeEncoder
-from iris_tts_tpu.train import TrainState, adam_clipped
 from iris_tts_tpu.train.checkpoint import CheckpointManager
 from scripts.common import add_common_args, resolve_config, setup_logging
 
@@ -50,20 +49,10 @@ def main() -> None:
         cache_dir=args.cache_dir, audio=cfg.audio,
     )
 
-    key = jax.random.PRNGKey(0)
     encoder = PhonemeEncoder(config=cfg.encoder)
     head = DurationPredictor(config=cfg.duration)
-    ids0 = jnp.zeros((1, 8), jnp.int32)
-    p_enc = jax.jit(encoder.init)(key, ids0)["params"]
-    p_head = jax.jit(head.init)(
-        key, jax.jit(encoder.apply)({"params": p_enc}, ids0)
-    )["params"]
     mgr = CheckpointManager(Path(args.encoder_checkpoint))
-    state = mgr.restore_best(
-        TrainState.create(
-            {"encoder": p_enc, "duration": p_head}, adam_clipped(1e-4), key
-        )
-    )
+    params = mgr.restore_best_params()
     mgr.close()
 
     @jax.jit
@@ -80,7 +69,7 @@ def main() -> None:
     for batch in batcher.epoch(0):
         pred = np.asarray(
             predict(
-                state.params,
+                params,
                 jnp.asarray(batch["phoneme_ids"]),
                 jnp.asarray(batch["phoneme_mask"]),
             )

@@ -19,8 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from iris_tts_tpu.data.audio_io import load_audio
 from iris_tts_tpu.data.ljspeech import LJSpeechVAEDataset
+from iris_tts_tpu.data.native import load_audio
 from iris_tts_tpu.models.discriminators import HiFiGANDiscriminators
 from iris_tts_tpu.models.hifigan import HiFiGANGenerator
 from iris_tts_tpu.ops.stft import log_mel_spectrogram

@@ -32,40 +32,40 @@ from scripts.common import add_common_args, resolve_config, setup_logging
 from scripts.train_vae import load_frozen_encoder
 
 
-def load_frozen_vae(cfg, checkpoint_dir: str | Path, frozen_encoder):
-    key = jax.random.PRNGKey(0)
-    vae = TextConditionedVAE(config=cfg.vae)
-    t0 = cfg.vae.down_factor * 4
-    p_vae = jax.jit(vae.init)(
-        {"params": key, "sample": key},
-        jnp.zeros((1, t0, cfg.vae.n_mels)),
-        jnp.zeros((1, t0, cfg.vae.cond_dim)),
-    )["params"]
-    template = TrainState.create(
-        p_vae, adam_clipped(1e-4), key, frozen={"encoder": frozen_encoder}
-    )
+def load_frozen_vae(cfg, checkpoint_dir: str | Path, frozen_encoder=None):
+    """Trained VAE params via template-free restore (optimizer-agnostic)."""
+    del frozen_encoder  # kept for call-site compatibility
     mgr = CheckpointManager(Path(checkpoint_dir))
-    state = mgr.restore_best(template)
+    params = mgr.restore_best_params()
     mgr.close()
-    return state.params
+    return params
 
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     add_common_args(parser)
     parser.add_argument(
-        "--encoder_checkpoint", type=str,
-        default="outputs/encoder/checkpoints",
+        "--encoder_checkpoint", type=str, default=None,
+        help="stage-1 checkpoint dir (default: <output_dir>/encoder/checkpoints)",
     )
     parser.add_argument(
-        "--vae_checkpoint", type=str, default="outputs/vae/checkpoints"
+        "--vae_checkpoint", type=str, default=None,
+        help="stage-2 checkpoint dir (default: <output_dir>/vae/checkpoints)",
     )
     parser.add_argument(
-        "--vae_config", type=str, default="outputs/vae/config_vae.json",
-        help="Config persisted by stage 2 (ensures matching architecture)",
+        "--vae_config", type=str, default=None,
+        help="config persisted by stage 2 (default: "
+        "<output_dir>/vae/config_vae.json; ensures matching architecture)",
     )
     args = parser.parse_args()
     setup_logging(args.verbose)
+    out_root = Path(args.output_dir)
+    if args.encoder_checkpoint is None:
+        args.encoder_checkpoint = str(out_root / "encoder" / "checkpoints")
+    if args.vae_checkpoint is None:
+        args.vae_checkpoint = str(out_root / "vae" / "checkpoints")
+    if args.vae_config is None:
+        args.vae_config = str(out_root / "vae" / "config_vae.json")
     # Architecture comes from the stage-2 config file when available
     # (reference: train_postnet.py:110-133).
     if args.vae_config and Path(args.vae_config).exists():

@@ -47,35 +47,29 @@ from scripts.common import (
 
 
 def load_frozen_encoder(cfg, checkpoint_dir: str | Path):
-    """Pull trained encoder params out of a stage-1 checkpoint
-    (reference equivalent: train_vae.py:188-208)."""
-    key = jax.random.PRNGKey(0)
-    encoder = PhonemeEncoder(config=cfg.encoder)
-    head = DurationPredictor(config=cfg.duration)
-    ids0 = jnp.zeros((1, 8), jnp.int32)
-    p_enc = jax.jit(encoder.init)(key, ids0)["params"]
-    p_head = jax.jit(head.init)(
-        key, jax.jit(encoder.apply)({"params": p_enc}, ids0)
-    )["params"]
-    template = TrainState.create(
-        {"encoder": p_enc, "duration": p_head}, adam_clipped(1e-4), key
-    )
+    """Pull trained encoder params out of a stage-1 checkpoint via a
+    template-free restore (the stage's optimizer structure is irrelevant
+    here; reference equivalent: train_vae.py:188-208)."""
     mgr = CheckpointManager(Path(checkpoint_dir))
-    state = mgr.restore_best(template)
+    params = mgr.restore_best_params()
     mgr.close()
-    return state.params["encoder"]
+    return params["encoder"]
 
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     add_common_args(parser)
     parser.add_argument(
-        "--encoder_checkpoint", type=str,
-        default="outputs/encoder/checkpoints",
+        "--encoder_checkpoint", type=str, default=None,
+        help="stage-1 checkpoint dir (default: <output_dir>/encoder/checkpoints)",
     )
     parser.add_argument("--max_frames", type=int, default=2048)
     args = parser.parse_args()
     setup_logging(args.verbose)
+    if args.encoder_checkpoint is None:
+        args.encoder_checkpoint = str(
+            Path(args.output_dir) / "encoder" / "checkpoints"
+        )
     cfg = resolve_config(args)
 
     train_ds = LJSpeechVAEDataset(

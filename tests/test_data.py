@@ -133,64 +133,9 @@ def test_train_val_split_reference_convention():
 
 @pytest.fixture
 def mini_corpus(tmp_path, rng):
-    root = tmp_path / "LJSpeech-1.1"
-    (root / "wavs").mkdir(parents=True)
-    align_dir = tmp_path / "aligned"
-    align_dir.mkdir()
-    meta_lines = []
-    sr, hop = 22050, 256
-    for i in range(10):
-        sid = f"LJ001-{i:04d}"
-        n_phones = 3 + (i % 3)
-        dur_each = 0.08 + 0.01 * (i % 4)
-        total = n_phones * dur_each
-        audio = (0.1 * rng.standard_normal(int(total * sr) + 512)).astype(
-            np.float32
-        )
-        write_wav(root / "wavs" / f"{sid}.wav", audio, sr)
-        meta_lines.append(f"{sid}|Text {i}|Text {i}")
-        # long-format TextGrid with words + phones tiers
-        phones = ["HH", "AH", "L", "OW", "W"][:n_phones]
-        iv = []
-        t0 = 0.0
-        for ph in phones:
-            iv.append((t0, t0 + dur_each, ph))
-            t0 += dur_each
-        body = "\n".join(
-            f"""        intervals [{j+1}]:
-            xmin = {a}
-            xmax = {b}
-            text = "{p}" """
-            for j, (a, b, p) in enumerate(iv)
-        )
-        tg = f"""File type = "ooTextFile"
-Object class = "TextGrid"
-xmin = 0
-xmax = {t0}
-tiers? <exists>
-size = 2
-item []:
-    item [1]:
-        class = "IntervalTier"
-        name = "words"
-        xmin = 0
-        xmax = {t0}
-        intervals: size = 1
-        intervals [1]:
-            xmin = 0
-            xmax = {t0}
-            text = "word"
-    item [2]:
-        class = "IntervalTier"
-        name = "phones"
-        xmin = 0
-        xmax = {t0}
-        intervals: size = {len(iv)}
-{body}
-"""
-        (align_dir / f"{sid}.TextGrid").write_text(tg)
-    (root / "metadata.csv").write_text("\n".join(meta_lines))
-    return root, align_dir
+    from tests.corpus_utils import build_mini_corpus
+
+    return build_mini_corpus(tmp_path, n=10)
 
 
 def test_duration_dataset(mini_corpus, tmp_path):

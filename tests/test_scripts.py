@@ -27,7 +27,11 @@ SMALL_CFG = {
 
 def _run(args, timeout=420):
     env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin:/usr/local/bin",
-           "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+           "JAX_PLATFORMS": "cpu", "HOME": "/root",
+           # Share the persistent compile cache with conftest so subprocess
+           # tests don't recompile the big graphs every suite run.
+           "JAX_COMPILATION_CACHE_DIR": str(REPO / ".jax_cache_cpu"),
+           "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "5"}
     return subprocess.run(
         [sys.executable, *args], cwd=REPO, env=env,
         capture_output=True, text=True, timeout=timeout,

@@ -23,6 +23,11 @@ def setup_logging(verbose: bool = False) -> None:
         format="%(asctime)s - %(levelname)s - %(message)s",
         force=True,
     )
+    # Third-party INFO chatter (orbax emits several lines per checkpoint op).
+    for noisy in ("orbax", "absl", "jax"):
+        logging.getLogger(noisy).setLevel(
+            logging.DEBUG if verbose else logging.WARNING
+        )
 
 
 def add_common_args(parser: argparse.ArgumentParser) -> None:

@@ -89,6 +89,14 @@ def main() -> None:
         "--init_from_torch", type=str, default=None,
         help="warm-start generator from a torch generator.ckpt",
     )
+    parser.add_argument(
+        "--disc_width", type=float, default=1.0,
+        help="discriminator channel scale (1.0 = paper sizes; smaller for "
+        "smoke tests)",
+    )
+    parser.add_argument("--periods", type=int, nargs="+",
+                        default=[2, 3, 5, 7, 11])
+    parser.add_argument("--num_scales", type=int, default=3)
     args = parser.parse_args()
     setup_logging(args.verbose)
     cfg = resolve_config(args)
@@ -105,7 +113,10 @@ def main() -> None:
     key = jax.random.PRNGKey(cfg.train.seed)
     k_g, k_d = jax.random.split(key)
     gen = HiFiGANGenerator(config=cfg.hifigan)
-    disc = HiFiGANDiscriminators()
+    disc = HiFiGANDiscriminators(
+        periods=tuple(args.periods), num_scales=args.num_scales,
+        width=args.disc_width,
+    )
     p_gen = jax.jit(gen.init)(
         k_g, jnp.zeros((1, args.segment_frames, cfg.hifigan.in_channels))
     )["params"]
@@ -134,7 +145,10 @@ def main() -> None:
     gen_state = TrainState.create(p_gen, tx(), k_g)
     disc_state = TrainState.create(p_disc, tx(), k_d)
 
-    disc_step, gen_step = make_gan_steps(cfg)
+    disc_step, gen_step = make_gan_steps(
+        cfg, periods=tuple(args.periods), num_scales=args.num_scales,
+        disc_width=args.disc_width,
+    )
     disc_step = jax.jit(disc_step)
     gen_step = jax.jit(gen_step)
 

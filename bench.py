@@ -100,6 +100,35 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Secondary metric (BASELINE.md): p50 single-utterance latency at a
+    # short-utterance shape (B=1, 256 frames ≈ 3 s of audio).
+    T1 = 256
+    ids1, mask1 = ids[:1], mask[:1]
+
+    @jax.jit
+    def synth_one(params, ids, mask, key):
+        enc, frames = pipe._stage_a_fn(params, ids, mask)
+        audio, _, _ = pipe._stage_b_fn(
+            params, enc, frames, key, total_frames=T1
+        )
+        return audio
+
+    float(jnp.sum(synth_one(pipe.params, ids1, mask1, key)))  # compile
+    lats = []
+    for i in range(11):
+        t0 = time.time()
+        float(jnp.sum(
+            synth_one(pipe.params, ids1, mask1, jax.random.fold_in(key, i))
+        ))
+        lats.append(time.time() - t0)
+    p50 = sorted(lats)[len(lats) // 2]
+    print(
+        f"bench: p50 single-utterance latency = {p50*1e3:.1f} ms for "
+        f"{T1*cfg.audio.hop_length/sr:.2f}s of audio "
+        f"(includes the fixed per-dispatch tunnel round trip)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {

@@ -91,3 +91,46 @@ def test_bare_params_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(again["layer"]["kernel"]), params["layer"]["kernel"]
     )
+
+
+def test_epoch_counter_survives_roundtrip(tmp_path):
+    """TrainState.epoch is checkpointed; resume_if_available reads it
+    directly (review fix: no steps-per-epoch guessing)."""
+    import jax.numpy as jnp
+
+    from iris_tts_tpu.train.loop import resume_if_available
+
+    state = _advance(_make_state(), 5)
+    state = state.replace(epoch=jnp.asarray(3, jnp.int32))
+    mgr = CheckpointManager(tmp_path / "ck")
+    mgr.save(int(state.step), state)
+
+    restored, start_epoch = resume_if_available(mgr, _make_state(seed=9))
+    assert start_epoch == 3
+    assert int(restored.epoch) == 3
+    mgr.close()
+
+
+def test_restore_raw_decouples_optimizer(tmp_path):
+    """Template-free restore works even when the consumer's optimizer
+    differs from the one that trained the checkpoint (review blocker)."""
+    import optax
+
+    from iris_tts_tpu.train import TrainState
+
+    # Train-side: schedule-based optimizer (ScaleByScheduleState in tree).
+    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-3, 5, 50)
+    key = jax.random.PRNGKey(0)
+    params = {"w": jax.random.normal(key, (3, 3))}
+    state = TrainState.create(params, adam_clipped(sched), key)
+    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    state = state.apply_gradients(grads)
+
+    mgr = CheckpointManager(tmp_path / "ck")
+    mgr.save(int(state.step), state, val_metric=1.0)
+
+    got = mgr.restore_best_params()
+    np.testing.assert_array_equal(
+        np.asarray(got["w"]), np.asarray(state.params["w"])
+    )
+    mgr.close()

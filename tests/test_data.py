@@ -233,3 +233,44 @@ def test_read_metadata(tmp_path):
     meta = read_metadata(tmp_path)
     assert meta["LJ001-0001"] == "Normalized one"
     assert meta["LJ001-0002"] == "Norm two"
+
+
+def test_remainder_batch_rows_are_masked_out():
+    """Padding rows in flushed remainder batches must not contribute to any
+    loss: zero phoneme_mask and zero durations (review fix)."""
+    samples = [
+        Sample(f"s{i}", "", np.array([1, 2, 3], np.int32),
+               np.array([2.0, 2.0, 2.0], np.float32),
+               mel=np.ones((6, 4), np.float32))
+        for i in range(2)
+    ]
+    batcher = BucketedBatcher(
+        samples, batch_size=4, phoneme_buckets=(4,), frame_buckets=(8,),
+        down_factor=4,
+    )
+    batches = list(batcher.epoch(0))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["phoneme_ids"].shape[0] == 4
+    # rows 2..3 are padding: fully masked, zero durations
+    assert b["phoneme_mask"][:2].sum() == 6
+    assert b["phoneme_mask"][2:].sum() == 0
+    assert b["durations"][2:].sum() == 0
+
+
+def test_remainder_batch_cycles_distinct_samples():
+    """Padding cycles through the bin's real samples instead of repeating
+    only the first one (review fix: x % x == 0 degeneracy)."""
+    samples = [
+        Sample(f"s{i}", "", np.array([i + 1], np.int32),
+               np.array([1.0], np.float32))
+        for i in range(3)
+    ]
+    batcher = BucketedBatcher(
+        samples, batch_size=6, phoneme_buckets=(4,), with_mel=False
+    )
+    b = next(iter(batcher.epoch(0)))
+    real_ids = set(b["phoneme_ids"][:3, 0].tolist())
+    pad_ids = b["phoneme_ids"][3:, 0].tolist()
+    assert len(real_ids) == 3
+    assert len(set(pad_ids)) > 1  # not all copies of one sample

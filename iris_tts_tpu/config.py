@@ -39,8 +39,10 @@ class AudioConfig:
     fmax: float = 8000.0
     # log(clip(mel, min=log_clip_min)) — data.py:65
     log_clip_min: float = 1e-5
-    # STFT centering pad mode; "reflect" matches the classical TTS convention.
-    pad_mode: str = "reflect"
+    # STFT centering pad mode. The reference pins librosa>=0.10
+    # (pyproject.toml), whose stft default is zero padding ("constant") —
+    # that is the contract its features (and mel caches) were built with.
+    pad_mode: str = "constant"
 
     @property
     def n_freqs(self) -> int:

@@ -93,9 +93,15 @@ class TTSPipeline:
         self._hifigan = HiFiGANGenerator(config=cfg.hifigan, dtype=self.dtype)
         self._rng = jax.random.PRNGKey(self.seed)
         self._stage_a = jax.jit(self._stage_a_fn)
-        self._stage_b = jax.jit(self._stage_b_fn, static_argnames=("total_frames",))
+        # use_postnet is part of the jit cache key: toggling the attribute
+        # after a trace would otherwise be silently ignored.
+        self._stage_b = jax.jit(
+            self._stage_b_fn,
+            static_argnames=("total_frames", "use_postnet"),
+        )
         self._stage_b_mel = jax.jit(
-            self._stage_b_mel_fn, static_argnames=("total_frames",)
+            self._stage_b_mel_fn,
+            static_argnames=("total_frames", "use_postnet"),
         )
         self._vocode = jax.jit(self._vocode_fn)
 
@@ -317,7 +323,8 @@ class TTSPipeline:
         frames = durations_from_log(log_dur) * mask.astype(jnp.int32)
         return enc, frames
 
-    def _acoustic(self, params, enc, frames, key, total_frames, temperature):
+    def _acoustic(self, params, enc, frames, key, total_frames, temperature,
+                  use_postnet):
         cond, frame_mask = length_regulate(enc, frames, total_frames)
         mel, _ = self._vae.apply(
             {"params": params["vae"]},
@@ -326,23 +333,23 @@ class TTSPipeline:
             method=TextConditionedVAE.generate,
             rngs={"sample": key},
         )
-        if self.use_postnet:
+        if use_postnet:
             mel = self._postnet.apply(params["postnet"], mel)
         return mel, frame_mask
 
     def _stage_b_fn(self, params, enc, frames, key, *, total_frames,
-                    temperature=1.0):
+                    temperature=1.0, use_postnet=True):
         """length-regulate + VAE + PostNet + HiFiGAN → waveform."""
         mel, frame_mask = self._acoustic(
-            params, enc, frames, key, total_frames, temperature
+            params, enc, frames, key, total_frames, temperature, use_postnet
         )
         audio = self._hifigan.apply({"params": params["hifigan"]}, mel)
         return audio, mel, frame_mask
 
     def _stage_b_mel_fn(self, params, enc, frames, key, *, total_frames,
-                        temperature=1.0):
+                        temperature=1.0, use_postnet=True):
         return self._acoustic(
-            params, enc, frames, key, total_frames, temperature
+            params, enc, frames, key, total_frames, temperature, use_postnet
         )
 
     def _vocode_fn(self, params, mel):
@@ -378,6 +385,27 @@ class TTSPipeline:
             row[: len(seq)] = seq[:p_bucket]
         return ids, lengths
 
+    def _run_stage_a(self, texts: Sequence[str]):
+        """Host frontend + stage A + frame-bucket choice (shared by the
+        synthesize/synthesize_mel paths)."""
+        ids_np, lengths = self._encode_texts(texts)
+        ids = jnp.asarray(ids_np)
+        mask = padding_mask(jnp.asarray(lengths), ids_np.shape[1])
+        enc, frames = self._stage_a(self.params, ids, mask)
+        total = int(jnp.max(jnp.sum(frames, axis=1)))
+        factor = self.config.vae.down_factor
+        t_bucket = pick_bucket(
+            round_up_to_multiple(max(total, factor), factor),
+            self.frame_buckets,
+        )
+        if total > t_bucket:
+            logger.warning(
+                "predicted %d frames exceed the largest frame bucket (%d); "
+                "the audio tail will be truncated — raise "
+                "pipeline.frame_buckets or split the text", total, t_bucket,
+            )
+        return enc, frames, t_bucket
+
     def synthesize(
         self,
         text: Union[str, Sequence[str]],
@@ -394,22 +422,13 @@ class TTSPipeline:
         """
         single = isinstance(text, str)
         texts = [text] if single else list(text)
-        ids_np, lengths = self._encode_texts(texts)
-        ids = jnp.asarray(ids_np)
-        mask = padding_mask(jnp.asarray(lengths), ids_np.shape[1])
-
-        enc, frames = self._stage_a(self.params, ids, mask)
-        total = int(jnp.max(jnp.sum(frames, axis=1)))
-        factor = self.config.vae.down_factor
-        t_bucket = pick_bucket(
-            round_up_to_multiple(max(total, factor), factor),
-            self.frame_buckets,
-        )
+        enc, frames, t_bucket = self._run_stage_a(texts)
 
         key = self._next_key(seed)
         audio, mel, frame_mask = self._stage_b(
             self.params, enc, frames, key,
             total_frames=t_bucket, temperature=temperature,
+            use_postnet=self.use_postnet,
         )
 
         hop = self.config.hifigan.total_upsample  # samples per mel frame
@@ -432,19 +451,11 @@ class TTSPipeline:
         """Text → log-mel [T, n_mels] (acoustic model only)."""
         single = isinstance(text, str)
         texts = [text] if single else list(text)
-        ids_np, lengths = self._encode_texts(texts)
-        ids = jnp.asarray(ids_np)
-        mask = padding_mask(jnp.asarray(lengths), ids_np.shape[1])
-        enc, frames = self._stage_a(self.params, ids, mask)
-        total = int(jnp.max(jnp.sum(frames, axis=1)))
-        factor = self.config.vae.down_factor
-        t_bucket = pick_bucket(
-            round_up_to_multiple(max(total, factor), factor),
-            self.frame_buckets,
-        )
+        enc, frames, t_bucket = self._run_stage_a(texts)
         mel, frame_mask = self._stage_b_mel(
             self.params, enc, frames, self._next_key(seed),
             total_frames=t_bucket, temperature=temperature,
+            use_postnet=self.use_postnet,
         )
         n_frames = np.asarray(jnp.sum(frame_mask, axis=1)).astype(np.int64)
         outs = [np.asarray(m[: int(n)]) for m, n in zip(mel, n_frames)]

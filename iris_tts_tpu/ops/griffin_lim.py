@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from iris_tts_tpu.config import AudioConfig
-from iris_tts_tpu.ops.stft import hann_window, mel_filterbank
+from iris_tts_tpu.ops.stft import mel_filterbank, padded_window
 
 
 @functools.lru_cache(maxsize=None)
@@ -30,12 +30,9 @@ def _mel_pinv(sample_rate: int, n_fft: int, n_mels: int, fmin: float,
     return np.maximum(pinv, 0.0).astype(np.float32)
 
 
-@functools.lru_cache(maxsize=None)
 def _synthesis_window(n_fft: int, win_length: int, hop_length: int):
-    win = np.zeros(n_fft, dtype=np.float64)
-    offset = (n_fft - win_length) // 2
-    win[offset : offset + win_length] = hann_window(win_length, np.float64)
-    return win.astype(np.float32)
+    del hop_length  # placement is hop-independent; kept for call sites
+    return padded_window(n_fft, win_length)
 
 
 def mel_to_linear(log_mel: jnp.ndarray, cfg: AudioConfig = AudioConfig()):

@@ -83,7 +83,12 @@ def gaussian_upsample(
     ends = jnp.cumsum(durations.astype(jnp.float32), axis=-1)  # [B, P]
     centers = ends - durations / 2.0  # [B, P]
     total = ends[..., -1:]
-    t = jnp.arange(total_frames, dtype=jnp.float32)[None, :, None]  # [1,T,1]
+    # Frame CENTERS (t + 0.5): comparing integer indices against segment
+    # centers would bias every boundary frame half a frame left relative to
+    # the hard length_regulate gather.
+    t = (
+        jnp.arange(total_frames, dtype=jnp.float32)[None, :, None] + 0.5
+    )  # [1,T,1]
     # energy [B, T, P]
     energy = -temperature * jnp.square(t - centers[:, None, :])
     # Mask padding phonemes (duration 0) out of the softmax.

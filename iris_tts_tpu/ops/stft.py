@@ -43,6 +43,20 @@ def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def padded_window(n_fft: int, win_length: int,
+                  dtype_name: str = "float32") -> np.ndarray:
+    """The analysis window centered in an n_fft frame — the single source of
+    the window-placement contract shared by the FFT path, the matmul-DFT
+    path, and Griffin-Lim's ISTFT."""
+    win = np.zeros(n_fft, dtype=np.dtype(dtype_name))
+    offset = (n_fft - win_length) // 2
+    win[offset : offset + win_length] = hann_window(
+        win_length, np.dtype(dtype_name)
+    )
+    return win
+
+
 def _hz_to_mel_slaney(freqs: np.ndarray) -> np.ndarray:
     """Slaney mel scale: linear below 1 kHz, logarithmic above."""
     freqs = np.asarray(freqs, dtype=np.float64)
@@ -126,9 +140,7 @@ def _dft_matrices(n_fft: int, win_length: int, dtype_name: str = "float32"):
     n = np.arange(n_fft)[:, None]
     k = np.arange(n_freqs)[None, :]
     ang = -2.0 * np.pi * n * k / n_fft
-    win = np.zeros(n_fft)
-    offset = (n_fft - win_length) // 2
-    win[offset : offset + win_length] = hann_window(win_length, np.float64)
+    win = padded_window(n_fft, win_length, "float64")
     real = (np.cos(ang) * win[:, None]).astype(dtype)
     imag = (np.sin(ang) * win[:, None]).astype(dtype)
     return real, imag
@@ -140,7 +152,7 @@ def _dft_matrices(n_fft: int, win_length: int, dtype_name: str = "float32"):
 
 
 def frame_signal(
-    audio: jnp.ndarray, n_fft: int, hop_length: int, pad_mode: str = "reflect"
+    audio: jnp.ndarray, n_fft: int, hop_length: int, pad_mode: str = "constant"
 ) -> jnp.ndarray:
     """Center-pad and slice ``audio`` [..., N] into frames [..., T, n_fft].
 
@@ -172,13 +184,11 @@ def stft_magnitude(
     n_fft: int = 1024,
     hop_length: int = 256,
     win_length: int = 1024,
-    pad_mode: str = "reflect",
+    pad_mode: str = "constant",
 ) -> jnp.ndarray:
     """|STFT| via XLA rfft. audio [..., N] → [..., T, n_freqs]."""
     frames = frame_signal(audio, n_fft, hop_length, pad_mode)
-    win = np.zeros(n_fft, dtype=np.float32)
-    offset = (n_fft - win_length) // 2
-    win[offset : offset + win_length] = hann_window(win_length)
+    win = padded_window(n_fft, win_length)
     spec = jnp.fft.rfft(frames * win, n=n_fft, axis=-1)
     return jnp.abs(spec).astype(audio.dtype)
 
@@ -188,7 +198,7 @@ def stft_magnitude_matmul(
     n_fft: int = 1024,
     hop_length: int = 256,
     win_length: int = 1024,
-    pad_mode: str = "reflect",
+    pad_mode: str = "constant",
 ) -> jnp.ndarray:
     """|STFT| via windowed-DFT matmuls (MXU path). Same contract as
     :func:`stft_magnitude`."""

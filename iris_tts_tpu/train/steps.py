@@ -51,18 +51,22 @@ def make_duration_train_step(cfg: IrisConfig) -> StepFn:
     delta = cfg.train.duration_huber_delta
 
     def loss_fn(params, batch, dropout_rng):
+        # Distinct streams: flax folds rngs by module path only, so sharing
+        # one key would give the encoder and the head bitwise-identical
+        # dropout masks (their root Dropout paths coincide).
+        enc_rng, head_rng = jax.random.split(dropout_rng)
         enc = encoder.apply(
             {"params": params["encoder"]},
             batch["phoneme_ids"],
             padding_mask=batch["phoneme_mask"],
             deterministic=False,
-            rngs={"dropout": dropout_rng},
+            rngs={"dropout": enc_rng},
         )
         pred = head.apply(
             {"params": params["duration"]},
             enc,
             deterministic=False,
-            rngs={"dropout": dropout_rng},
+            rngs={"dropout": head_rng},
         )
         loss = duration_huber_loss(
             pred, batch["durations"], batch["phoneme_mask"], delta=delta

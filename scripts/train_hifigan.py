@@ -23,7 +23,6 @@ from iris_tts_tpu.data.ljspeech import LJSpeechVAEDataset
 from iris_tts_tpu.data.native import load_audio
 from iris_tts_tpu.models.discriminators import HiFiGANDiscriminators
 from iris_tts_tpu.models.hifigan import HiFiGANGenerator
-from iris_tts_tpu.ops.stft import log_mel_spectrogram
 from iris_tts_tpu.train import TrainState, adam_clipped
 from iris_tts_tpu.train.checkpoint import CheckpointManager
 from iris_tts_tpu.train.gan import make_gan_steps
@@ -35,7 +34,12 @@ logger = logging.getLogger(__name__)
 
 class AudioSegmentBatcher:
     """Random fixed-length (mel, audio) segment batches — the standard
-    HiFi-GAN training regime (8192-sample segments)."""
+    HiFi-GAN training regime (8192-sample segments).
+
+    Conditioning mels are SLICED from the full-utterance cached mel rather
+    than recomputed per crop: recomputing would center-pad each crop, so its
+    edge frames (~12% of a 32-frame segment) would encode mirrored audio the
+    discriminator never sees — a train/inference conditioning mismatch."""
 
     def __init__(self, dataset, batch_size: int, segment_frames: int,
                  audio_cfg, seed: int = 1337):
@@ -55,20 +59,18 @@ class AudioSegmentBatcher:
         order = rng.permutation(len(self.dataset))
         batch_mel, batch_audio = [], []
         for idx in order:
-            sid = self.dataset.sample_ids[int(idx)]
+            sample = self.dataset[int(idx)]  # full-context cached mel
+            sid = sample.file_id
             wav = load_audio(
                 Path(self.dataset.root) / "wavs" / f"{sid}.wav",
                 self.audio_cfg.sample_rate,
             )
-            if len(wav) < seg_t * hop + hop:
+            n_frames = min(sample.mel.shape[0], len(wav) // hop)
+            if n_frames <= seg_t:
                 continue
-            start_frame = int(rng.integers(0, len(wav) // hop - seg_t))
+            start_frame = int(rng.integers(0, n_frames - seg_t))
             audio_seg = wav[start_frame * hop : (start_frame + seg_t) * hop]
-            mel = np.asarray(
-                log_mel_spectrogram(
-                    jnp.asarray(audio_seg), self.audio_cfg
-                )
-            )[:seg_t]
+            mel = sample.mel[start_frame : start_frame + seg_t]
             batch_mel.append(mel)
             batch_audio.append(audio_seg)
             if len(batch_mel) == self.batch_size:

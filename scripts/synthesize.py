@@ -58,14 +58,22 @@ def main() -> None:
                         help="smoke-test mode without trained checkpoints")
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--seed", type=int, default=1337)
+    parser.add_argument(
+        "--dtype", choices=["f32", "bf16"], default="f32",
+        help="compute dtype (bf16: ~1.3x faster steady-state, much slower "
+        "first compile on tunneled backends)",
+    )
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
     setup_logging(args.verbose)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     if args.random_weights:
         cfg = load_config(args.config) if args.config else IrisConfig()
         pipe = TTSPipeline.initialize(
-            cfg, lexicon_path=args.lexicon_path, seed=args.seed
+            cfg, lexicon_path=args.lexicon_path, seed=args.seed, dtype=dtype
         )
     else:
         pipe = TTSPipeline.from_checkpoints(
@@ -76,6 +84,7 @@ def main() -> None:
             config=load_config(args.config) if args.config else None,
             vocab_path=args.vocab_path,
             lexicon_path=args.lexicon_path,
+            dtype=dtype,
         )
 
     if args.use_griffin_lim:

@@ -22,24 +22,11 @@ import time
 
 
 def _wait_for_tpu(max_wait_s: float = 300.0):
-    """The single-chip tunnel sometimes refuses claims for a few minutes
-    after another process releases it — retry with backoff."""
-    import jax
+    """Retry the device claim (incl. late plugin re-registration) before
+    falling back to CPU."""
+    from iris_tts_tpu.utils.tpu import wait_for_devices
 
-    deadline = time.time() + max_wait_s
-    delay = 5.0
-    while True:
-        try:
-            return jax.devices()
-        except RuntimeError as e:
-            if time.time() > deadline:
-                print(f"bench: no TPU after {max_wait_s}s ({e}); "
-                      "falling back to CPU", file=sys.stderr)
-                jax.config.update("jax_platforms", "cpu")
-                return jax.devices()
-            print(f"bench: waiting for TPU ({e})", file=sys.stderr)
-            time.sleep(delay)
-            delay = min(delay * 1.5, 30.0)
+    return wait_for_devices(max_wait_s, fall_back_to_cpu=True)
 
 
 def main() -> None:
@@ -61,21 +48,21 @@ def main() -> None:
     B, P, T = 8, 64, 1024
     rng = np.random.default_rng(1337)
     ids = jnp.asarray(rng.integers(2, len(pipe.vocab), size=(B, P)), jnp.int32)
-    mask = jnp.ones((B, P), jnp.bool_)
-    key = jax.random.PRNGKey(0)
+    lengths = jnp.full((B,), P, jnp.int32)
+    key = jnp.asarray(0, jnp.int32)
 
     @jax.jit
-    def synth(params, ids, mask, key):
-        enc, frames = pipe._stage_a_fn(params, ids, mask)
-        audio, mel, fmask = pipe._stage_b_fn(
-            params, enc, frames, key, total_frames=T
+    def synth(params, ids, lengths, seed):
+        enc, frames, _ = pipe._stage_a_fn(params, ids, lengths)
+        audio, mel, n_frames = pipe._stage_b_fn(
+            params, enc, frames, seed, total_frames=T
         )
         return audio
 
     # NOTE: force a host transfer of a reduction each iteration —
     # block_until_ready alone does not reliably block on tunneled backends.
     t0 = time.time()
-    audio = synth(pipe.params, ids, mask, key)
+    audio = synth(pipe.params, ids, lengths, key)
     checksum = float(jnp.sum(audio))
     compile_s = time.time() - t0
     print(
@@ -87,7 +74,7 @@ def main() -> None:
     n_iters = 10
     t0 = time.time()
     for i in range(n_iters):
-        audio = synth(pipe.params, ids, mask, jax.random.fold_in(key, i))
+        audio = synth(pipe.params, ids, lengths, jnp.asarray(i, jnp.int32))
         float(jnp.sum(audio))
     wall = (time.time() - t0) / n_iters
 
@@ -103,22 +90,22 @@ def main() -> None:
     # Secondary metric (BASELINE.md): p50 single-utterance latency at a
     # short-utterance shape (B=1, 256 frames ≈ 3 s of audio).
     T1 = 256
-    ids1, mask1 = ids[:1], mask[:1]
+    ids1, lengths1 = ids[:1], lengths[:1]
 
     @jax.jit
-    def synth_one(params, ids, mask, key):
-        enc, frames = pipe._stage_a_fn(params, ids, mask)
+    def synth_one(params, ids, lengths, seed):
+        enc, frames, _ = pipe._stage_a_fn(params, ids, lengths)
         audio, _, _ = pipe._stage_b_fn(
-            params, enc, frames, key, total_frames=T1
+            params, enc, frames, seed, total_frames=T1
         )
         return audio
 
-    float(jnp.sum(synth_one(pipe.params, ids1, mask1, key)))  # compile
+    float(jnp.sum(synth_one(pipe.params, ids1, lengths1, key)))  # compile
     lats = []
     for i in range(11):
         t0 = time.time()
         float(jnp.sum(
-            synth_one(pipe.params, ids1, mask1, jax.random.fold_in(key, i))
+            synth_one(pipe.params, ids1, lengths1, jnp.asarray(i, jnp.int32))
         ))
         lats.append(time.time() - t0)
     p50 = sorted(lats)[len(lats) // 2]

@@ -91,7 +91,7 @@ class TTSPipeline:
         self._vae = TextConditionedVAE(config=cfg.vae, dtype=self.dtype)
         self._postnet = PostNet(config=cfg.postnet, dtype=self.dtype)
         self._hifigan = HiFiGANGenerator(config=cfg.hifigan, dtype=self.dtype)
-        self._rng = jax.random.PRNGKey(self.seed)
+        self._seed_counter = 0
         self._stage_a = jax.jit(self._stage_a_fn)
         # use_postnet is part of the jit cache key: toggling the attribute
         # after a trace would otherwise be silently ignored.
@@ -314,17 +314,26 @@ class TTSPipeline:
     # jitted device stages
     # ------------------------------------------------------------------
 
-    def _stage_a_fn(self, params, ids, mask):
-        """encoder + duration head: [B,P] ids → (enc [B,P,E], frames [B,P])."""
+    def _stage_a_fn(self, params, ids, lengths):
+        """encoder + duration head: [B,P] ids + [B] lengths →
+        (enc [B,P,E], frames [B,P], max total frames [] int32).
+
+        Everything — padding mask, duration inversion, the total-frame
+        reduction — lives inside this ONE executable: the only host sync per
+        batch is transferring the returned scalar.
+        """
+        mask = padding_mask(lengths, ids.shape[1])
         enc = self._encoder.apply(
             {"params": params["encoder"]}, ids, padding_mask=mask
         )
         log_dur = self._duration.apply({"params": params["duration"]}, enc)
         frames = durations_from_log(log_dur) * mask.astype(jnp.int32)
-        return enc, frames
+        total = jnp.max(jnp.sum(frames, axis=1)).astype(jnp.int32)
+        return enc, frames, total
 
-    def _acoustic(self, params, enc, frames, key, total_frames, temperature,
+    def _acoustic(self, params, enc, frames, seed, total_frames, temperature,
                   use_postnet):
+        key = jax.random.PRNGKey(seed)  # traced: no extra host dispatch
         cond, frame_mask = length_regulate(enc, frames, total_frames)
         mel, _ = self._vae.apply(
             {"params": params["vae"]},
@@ -335,21 +344,24 @@ class TTSPipeline:
         )
         if use_postnet:
             mel = self._postnet.apply(params["postnet"], mel)
-        return mel, frame_mask
+        n_frames = jnp.sum(frame_mask, axis=1).astype(jnp.int32)
+        return mel, n_frames
 
-    def _stage_b_fn(self, params, enc, frames, key, *, total_frames,
+    def _stage_b_fn(self, params, enc, frames, seed, *, total_frames,
                     temperature=1.0, use_postnet=True):
-        """length-regulate + VAE + PostNet + HiFiGAN → waveform."""
-        mel, frame_mask = self._acoustic(
-            params, enc, frames, key, total_frames, temperature, use_postnet
+        """length-regulate + VAE + PostNet + HiFiGAN → waveform.
+        ``seed``: scalar int32 (the PRNG key is derived inside the
+        executable). Returns (audio, mel, per-row frame counts)."""
+        mel, n_frames = self._acoustic(
+            params, enc, frames, seed, total_frames, temperature, use_postnet
         )
         audio = self._hifigan.apply({"params": params["hifigan"]}, mel)
-        return audio, mel, frame_mask
+        return audio, mel, n_frames
 
-    def _stage_b_mel_fn(self, params, enc, frames, key, *, total_frames,
+    def _stage_b_mel_fn(self, params, enc, frames, seed, *, total_frames,
                         temperature=1.0, use_postnet=True):
         return self._acoustic(
-            params, enc, frames, key, total_frames, temperature, use_postnet
+            params, enc, frames, seed, total_frames, temperature, use_postnet
         )
 
     def _vocode_fn(self, params, mel):
@@ -359,11 +371,13 @@ class TTSPipeline:
     # host-side API
     # ------------------------------------------------------------------
 
-    def _next_key(self, seed: Optional[int]) -> jax.Array:
-        if seed is not None:
-            return jax.random.PRNGKey(seed)
-        self._rng, key = jax.random.split(self._rng)
-        return key
+    def _next_seed(self, seed: Optional[int]) -> jnp.ndarray:
+        """Scalar int32 seed for the jitted stages (no device key ops on
+        the host path)."""
+        if seed is None:
+            self._seed_counter += 1
+            seed = self.seed + self._seed_counter
+        return jnp.asarray(seed, jnp.int32)
 
     def _encode_texts(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Texts → bucketed, padded [B, P] ids + [B] lengths (host)."""
@@ -389,10 +403,10 @@ class TTSPipeline:
         """Host frontend + stage A + frame-bucket choice (shared by the
         synthesize/synthesize_mel paths)."""
         ids_np, lengths = self._encode_texts(texts)
-        ids = jnp.asarray(ids_np)
-        mask = padding_mask(jnp.asarray(lengths), ids_np.shape[1])
-        enc, frames = self._stage_a(self.params, ids, mask)
-        total = int(jnp.max(jnp.sum(frames, axis=1)))
+        enc, frames, total_arr = self._stage_a(
+            self.params, jnp.asarray(ids_np), jnp.asarray(lengths)
+        )
+        total = int(total_arr)
         factor = self.config.vae.down_factor
         t_bucket = pick_bucket(
             round_up_to_multiple(max(total, factor), factor),
@@ -424,15 +438,14 @@ class TTSPipeline:
         texts = [text] if single else list(text)
         enc, frames, t_bucket = self._run_stage_a(texts)
 
-        key = self._next_key(seed)
-        audio, mel, frame_mask = self._stage_b(
-            self.params, enc, frames, key,
+        audio, mel, n_frames_arr = self._stage_b(
+            self.params, enc, frames, self._next_seed(seed),
             total_frames=t_bucket, temperature=temperature,
             use_postnet=self.use_postnet,
         )
 
         hop = self.config.hifigan.total_upsample  # samples per mel frame
-        n_frames = np.asarray(jnp.sum(frame_mask, axis=1)).astype(np.int64)
+        n_frames = np.asarray(n_frames_arr).astype(np.int64)
         audio_np = np.asarray(audio, np.float32)
         outs = [a[: int(n) * hop] for a, n in zip(audio_np, n_frames)]
         if return_mel:
@@ -452,12 +465,12 @@ class TTSPipeline:
         single = isinstance(text, str)
         texts = [text] if single else list(text)
         enc, frames, t_bucket = self._run_stage_a(texts)
-        mel, frame_mask = self._stage_b_mel(
-            self.params, enc, frames, self._next_key(seed),
+        mel, n_frames_arr = self._stage_b_mel(
+            self.params, enc, frames, self._next_seed(seed),
             total_frames=t_bucket, temperature=temperature,
             use_postnet=self.use_postnet,
         )
-        n_frames = np.asarray(jnp.sum(frame_mask, axis=1)).astype(np.int64)
+        n_frames = np.asarray(n_frames_arr).astype(np.int64)
         outs = [np.asarray(m[: int(n)]) for m, n in zip(mel, n_frames)]
         return outs[0] if single else outs
 

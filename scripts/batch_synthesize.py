@@ -64,6 +64,11 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from iris_tts_tpu.utils.tpu import wait_for_devices
+
+    devices = wait_for_devices()
+    logger.info("devices: %s", devices)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -71,7 +76,7 @@ def main() -> None:
     from iris_tts_tpu.config import IrisConfig, MeshConfig
     from iris_tts_tpu.data.audio_io import write_wav
     from iris_tts_tpu.models.pipeline import TTSPipeline, pick_bucket
-    from iris_tts_tpu.ops.length import padding_mask, round_up_to_multiple
+    from iris_tts_tpu.ops.length import round_up_to_multiple
     from iris_tts_tpu.parallel.mesh import build_mesh, replicate_params
     from iris_tts_tpu.parallel.sharding import batch_sharding_tree
     from iris_tts_tpu.utils.metrics import SynthesisMeter
@@ -103,7 +108,14 @@ def main() -> None:
     mesh_cfg = MeshConfig()
     mesh = build_mesh(mesh_cfg)
     logger.info("mesh: %s", dict(mesh.shape))
-    pipe.params = replicate_params(pipe.params, mesh)
+    multi_device = len(mesh.devices.flat) > 1
+    if multi_device:
+        pipe.params = replicate_params(pipe.params, mesh)
+    else:
+        # Single device: skip explicit NamedSharding placement — identical
+        # semantics, and some PJRT backends take a dramatically slower
+        # execution path for explicitly-sharded single-device programs.
+        logger.info("single device: running unsharded")
 
     # Host frontend: encode all texts, group into batches by phoneme bucket.
     encoded = [pipe.text_processor.text_to_ids(t, pipe.vocab) for t in texts]
@@ -117,12 +129,8 @@ def main() -> None:
     dp = mesh.shape[mesh_cfg.data_axis]
     bs = max(args.batch_size, dp)
     bs -= bs % dp  # divisible by data-parallel degree
-    n_done = 0
-    key = jax.random.PRNGKey(args.seed)
-    for start in range(0, len(order), bs):
-        idxs = order[start : start + bs]
-        while len(idxs) < bs:  # pad final batch (masked out by trimming)
-            idxs.append(idxs[-1])
+
+    def _make_batch(idxs):
         seqs = [encoded[i] for i in idxs]
         p_bucket = pick_bucket(
             max(len(s) for s in seqs), pipe.phoneme_buckets
@@ -133,41 +141,66 @@ def main() -> None:
             n = min(len(s), p_bucket)
             ids[r, :n] = s[:n]
             lengths[r] = n
-        batch = batch_sharding_tree(
-            {"ids": jnp.asarray(ids)}, mesh, mesh_cfg
-        )
-        mask = padding_mask(jnp.asarray(lengths), p_bucket)
+        batch = {"ids": jnp.asarray(ids), "lengths": jnp.asarray(lengths)}
+        if multi_device:
+            batch = batch_sharding_tree(batch, mesh, mesh_cfg)
+        return batch, p_bucket
 
-        meter.start()
-        enc, frames = pipe._stage_a(pipe.params, batch["ids"], mask)
-        total = int(jnp.max(jnp.sum(frames, axis=1)))
+    # Two sweeps: ALL stage-A batches first, then stage-B batches grouped by
+    # frame bucket. Consecutive invocations reuse the same loaded executable
+    # (per-bucket), which matters both for remote-attached chips (expensive
+    # executable switches) and for icache/HBM locality on real pods.
+    meter.start()
+    staged = []
+    for start in range(0, len(order), bs):
+        idxs = order[start : start + bs]
+        while len(idxs) < bs:  # pad final batch (masked out by trimming)
+            idxs.append(idxs[-1])
+        batch, p_bucket = _make_batch(idxs)
+        enc, frames, total_arr = pipe._stage_a(
+            pipe.params, batch["ids"], batch["lengths"]
+        )
+        staged.append((idxs, p_bucket, enc, frames, total_arr))
+
+    n_done = 0
+    factor = pipe.config.vae.down_factor
+    hop = pipe.config.hifigan.total_upsample
+    by_bucket = {}
+    for item in staged:
+        total = int(item[4])
         t_bucket = pick_bucket(
-            round_up_to_multiple(max(total, 4), pipe.config.vae.down_factor),
+            round_up_to_multiple(max(total, factor), factor),
             pipe.frame_buckets,
         )
-        key, sub = jax.random.split(key)
-        audio, mel, fmask = pipe._stage_b(
-            pipe.params, enc, frames, sub, total_frames=t_bucket
-        )
-        n_frames = np.asarray(jnp.sum(fmask, axis=1)).astype(int)
-        audio_np = np.asarray(audio)
-        meter.stop(int(n_frames.sum()) * pipe.config.hifigan.total_upsample)
+        by_bucket.setdefault(t_bucket, []).append(item)
 
-        if args.write_wavs:
-            hop = pipe.config.hifigan.total_upsample
-            for r, i in enumerate(idxs[: len(seqs)]):
-                if r > 0 and idxs[r] == idxs[r - 1]:
-                    continue  # padding repeat
-                write_wav(
-                    out_dir / f"utt_{i:04d}.wav",
-                    audio_np[r, : n_frames[r] * hop],
-                    pipe.config.audio.sample_rate,
-                )
-        n_done += len(set(idxs))
-        logger.info(
-            "batch %d: P=%d T=%d → %d utterances done",
-            start // bs, p_bucket, t_bucket, n_done,
-        )
+    meter_total_samples = 0
+    for t_bucket, group in sorted(by_bucket.items()):
+        for gi, (idxs, p_bucket, enc, frames, _) in enumerate(group):
+            audio, mel, n_frames_arr = pipe._stage_b(
+                pipe.params, enc, frames,
+                jnp.asarray(args.seed + n_done, jnp.int32),
+                total_frames=t_bucket,
+            )
+            n_frames = np.asarray(n_frames_arr).astype(int)
+            audio_np = np.asarray(audio)
+            meter_total_samples += int(n_frames.sum()) * hop
+
+            if args.write_wavs:
+                for r, i in enumerate(idxs):
+                    if r > 0 and idxs[r] == idxs[r - 1]:
+                        continue  # padding repeat
+                    write_wav(
+                        out_dir / f"utt_{i:04d}.wav",
+                        audio_np[r, : n_frames[r] * hop],
+                        pipe.config.audio.sample_rate,
+                    )
+            n_done += len(set(idxs))
+            logger.info(
+                "bucket T=%d batch %d: P=%d → %d utterances done",
+                t_bucket, gi, p_bucket, n_done,
+            )
+    meter.stop(meter_total_samples)
 
     summary = meter.summary()
     logger.info("== batched synthesis summary ==")

@@ -87,6 +87,12 @@ def main() -> None:
         if n_seen >= args.num_samples:
             break
 
+    if not maes:
+        logger.error(
+            "no evaluable validation samples (val split has %d utterances); "
+            "train with a larger corpus or val_fraction", len(val_ds),
+        )
+        return
     mae = float(np.mean(maes))
     frame_ms = cfg.audio.hop_length / cfg.audio.sample_rate * 1000
     verdict = next(v for thresh, v in VERDICTS if mae < thresh)

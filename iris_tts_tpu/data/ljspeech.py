@@ -38,6 +38,7 @@ from iris_tts_tpu.data.textgrid import (
     load_alignments,
     save_alignment_cache,
 )
+from iris_tts_tpu.text.lexicon import strip_stress
 from iris_tts_tpu.text.phonemes import PhonemeVocab
 
 logger = logging.getLogger(__name__)
@@ -144,12 +145,18 @@ class LJSpeechDurationDataset:
         self.sample_ids = train_ids if split == "train" else val_ids
 
         # Vocab: built on train, loaded otherwise (datasets.py:245-300).
+        # MFA's english_us_arpa phone labels carry stress digits (AH0, EY1,
+        # ...) while the synthesis frontend emits stress-stripped ARPABET
+        # (text.py:196-198 convention) — the reference keeps the raw labels,
+        # so at synthesis every vowel maps to <UNK> (a latent reference
+        # defect, SURVEY.md §2.5). We strip stress on BOTH sides so the
+        # training vocab and the frontend agree.
         vocab_file = (
             self.cache_dir / "phoneme_vocab.json" if self.cache_dir else None
         )
         if split == "train":
             phones = {
-                p["phone"]
+                strip_stress(p["phone"])
                 for sid in self.sample_ids
                 for p in self.alignments[sid]
             }
@@ -194,7 +201,9 @@ class LJSpeechDurationDataset:
         frames = durations_to_frames(
             phones, self.audio.sample_rate, self.audio.hop_length
         )
-        ids = self.vocab.encode([p["phone"] for p in phones])
+        ids = self.vocab.encode(
+            [strip_stress(p["phone"]) for p in phones]
+        )
         return Sample(
             file_id=sid,
             text=self.metadata.get(sid, ""),
@@ -258,12 +267,20 @@ class LJSpeechVAEDataset(LJSpeechDurationDataset):
             self.mel_cache_dir.mkdir(parents=True, exist_ok=True)
             np.save(p, mel)
         # Trim to aligned frames (MFA excludes trailing silence;
-        # datasets.py:621-624). Clamp durations if audio is shorter.
+        # datasets.py:621-624). Clamp durations if audio is shorter —
+        # walking backwards over phonemes so the invariant
+        # sum(durations) <= mel frames always holds.
         total = int(sample.durations.sum())
         if total > mel.shape[0]:
             overflow = total - mel.shape[0]
             d = sample.durations.copy()
-            d[-1] = max(1.0, d[-1] - overflow)
+            j = len(d) - 1
+            while overflow > 0 and j >= 0:
+                take = min(overflow, d[j] - 1.0)
+                if take > 0:
+                    d[j] -= take
+                    overflow -= int(take)
+                j -= 1
             sample.durations = d
             total = int(d.sum())
         sample.mel = mel[:total]

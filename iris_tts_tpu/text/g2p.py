@@ -59,12 +59,6 @@ _DIGRAPHS = [
     ("kn", ["N"]),
     ("mb$", ["M"]),
     ("ps", ["S"]),
-    ("ce", ["S"]),
-    ("ci", ["S"]),
-    ("cy", ["S", "IY"]),
-    ("ge", ["JH"]),
-    ("gi", ["JH"]),
-    ("gy", ["JH", "IY"]),
 ]
 
 _SINGLE = {
@@ -149,6 +143,24 @@ def g2p(word: str) -> List[str]:
 
         # Silent final e.
         if word[i] == "e" and i + 1 == n and len(phones) >= 2:
+            i += 1
+            continue
+
+        # Soft c/g before e/i/y: emit the soft consonant but consume ONLY
+        # the c/g — the vowel still gets its own phoneme ('cent' → S EH N T,
+        # not S N T).
+        if word[i] == "c" and i + 1 < n and word[i + 1] in "eiy":
+            phones.append("S")
+            i += 1
+            continue
+        if word[i] == "g" and i + 1 < n and word[i + 1] in "eiy":
+            phones.append("JH")
+            i += 1
+            continue
+
+        # Final y is a vowel ('fancy' → ... S IY).
+        if word[i] == "y" and i + 1 == n and phones:
+            phones.append("IY")
             i += 1
             continue
 

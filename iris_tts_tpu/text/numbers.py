@@ -74,11 +74,13 @@ def year_to_words(n: int) -> str:
     thousand seven', 1900 → 'nineteen hundred'."""
     if 1000 <= n <= 9999:
         high, low = divmod(n, 100)
+        if high % 10 == 0:
+            # 2000/2007-style: read as a full cardinal ("two thousand
+            # seven") — checked before the "X hundred" form so 2000 is not
+            # "twenty hundred".
+            return number_to_words(n)
         if low == 0:
             return number_to_words(high) + " hundred"
-        if high % 10 == 0:
-            # 2007-style: read as a full cardinal.
-            return number_to_words(n)
         if low < 10:
             return number_to_words(high) + " oh " + number_to_words(low)
         return number_to_words(high) + " " + number_to_words(low)

@@ -41,6 +41,7 @@ def main() -> None:
                         default="outputs/encoder/checkpoints")
     parser.add_argument("--vae_checkpoint", type=str,
                         default="outputs/vae/checkpoints")
+    parser.add_argument("--postnet_checkpoint", type=str, default=None)
     parser.add_argument("--hifigan_checkpoint", type=str, default=None)
     parser.add_argument("--lexicon_path", type=str, default=None)
     parser.add_argument("--write_wavs", action="store_true")
@@ -101,6 +102,7 @@ def main() -> None:
     else:
         pipe = TTSPipeline.from_checkpoints(
             args.encoder_checkpoint, args.vae_checkpoint,
+            postnet_checkpoint=args.postnet_checkpoint,
             hifigan_checkpoint=args.hifigan_checkpoint,
             lexicon_path=args.lexicon_path,
         )
@@ -181,6 +183,7 @@ def main() -> None:
                 pipe.params, enc, frames,
                 jnp.asarray(args.seed + n_done, jnp.int32),
                 total_frames=t_bucket,
+                use_postnet=pipe.use_postnet,
             )
             n_frames = np.asarray(n_frames_arr).astype(int)
             audio_np = np.asarray(audio)

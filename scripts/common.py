@@ -43,7 +43,8 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--num_epochs", type=int, default=None)
     parser.add_argument("--learning_rate", type=float, default=None)
-    parser.add_argument("--seed", type=int, default=1337)
+    parser.add_argument("--seed", type=int, default=None,
+                        help="training seed (default: config value)")
     parser.add_argument("--verbose", action="store_true")
 
 
@@ -58,7 +59,7 @@ def resolve_config(args: argparse.Namespace) -> IrisConfig:
         train = replace(train, num_epochs=args.num_epochs)
     if getattr(args, "learning_rate", None):
         train = replace(train, learning_rate=args.learning_rate)
-    if getattr(args, "seed", None):
+    if getattr(args, "seed", None) is not None:
         train = replace(train, seed=args.seed)
     return replace(cfg, train=train)
 

@@ -64,8 +64,9 @@ def main() -> None:
         down_factor=cfg.vae.down_factor, seed=0,
     )
     rm = RunningMean()
-    for i, batch in enumerate(batcher.epoch(0)):
-        if i >= args.num_batches:
+    n_batches = 0
+    for batch in batcher.epoch(0):
+        if n_batches >= args.num_batches:
             break
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         m = eval_step(
@@ -73,8 +74,15 @@ def main() -> None:
             jnp.asarray(args.kl_weight),
         )
         rm.update({k: float(v) for k, v in m.items()})
+        n_batches += 1
     means = rm.means()
-    logger.info("validation over %d batches: %s", i + 1,
+    if not means:
+        logger.error(
+            "no validation batches (val split has %d utterances); use a "
+            "larger corpus or val_fraction", len(val_ds),
+        )
+        return
+    logger.info("validation over %d batches: %s", n_batches,
                 {k: round(v, 5) for k, v in means.items()})
 
     # Quality rubric (reference: analyze_vae.py:240-245).

@@ -274,3 +274,22 @@ def test_remainder_batch_cycles_distinct_samples():
     pad_ids = b["phoneme_ids"][3:, 0].tolist()
     assert len(real_ids) == 3
     assert len(set(pad_ids)) > 1  # not all copies of one sample
+
+
+def test_vocab_strips_mfa_stress_digits(tmp_path):
+    """MFA phone labels carry stress digits; the training vocab and encoded
+    ids must be stress-stripped to match the synthesis frontend
+    (review fix)."""
+    align_dir = tmp_path / "aligned"
+    align_dir.mkdir()
+    tg = _LONG_TG.replace('text = "AH"', 'text = "AH0"').replace(
+        'text = "HH"', 'text = "HH"'
+    )
+    (align_dir / "LJ001-0001.TextGrid").write_text(tg)
+    ds = LJSpeechDurationDataset(
+        tmp_path, align_dir, split="train", val_fraction=0.0
+    )
+    assert "AH" in ds.vocab.phoneme_to_id
+    assert "AH0" not in ds.vocab.phoneme_to_id
+    s = ds[0]
+    assert ds.vocab.unk_id not in s.phoneme_ids

@@ -56,6 +56,7 @@ def test_ordinal_to_words(n, words):
         (1900, "nineteen hundred"),
         (2007, "two thousand seven"),
         (1805, "eighteen oh five"),
+        (2000, "two thousand"),
     ],
 )
 def test_year_to_words(n, words):
@@ -149,6 +150,15 @@ def test_g2p_common_patterns():
     assert g2p("chat")[0] == "CH"
     assert g2p("sing")[-1] == "NG"
     assert g2p("make") == ["M", "EY", "K"]        # magic-e
+
+
+def test_g2p_soft_c_g_keep_their_vowels():
+    # soft c/g consume only the consonant (review fix)
+    assert g2p("cent") == ["S", "EH", "N", "T"]
+    vowels = {"AA", "AE", "AH", "EH", "IH", "IY", "OW", "UW", "EY", "AY"}
+    for w in ["citrus", "gem", "magic", "fancy"]:
+        assert any(p in vowels for p in g2p(w)), (w, g2p(w))
+    assert g2p("fancy")[-1] == "IY"  # final y is a vowel
 
 
 # -- processor ---------------------------------------------------------------

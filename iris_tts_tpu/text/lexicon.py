@@ -91,14 +91,84 @@ def strip_stress(phoneme: str) -> str:
     return _STRESS_RE.sub("", phoneme)
 
 
-class Lexicon:
-    """Word → ARPABET pronunciation table."""
+# Vendored full CMU Pronouncing Dictionary (public-domain data; the reference
+# ships the same table at data/cmu_dict.txt and loads it via nltk at
+# text.py:83-92). ~126k words; loaded by default so arbitrary English text
+# gets dictionary pronunciations rather than rule-G2P guesses.
+_VENDORED_CMUDICT = Path(__file__).resolve().parent / "data" / "cmu_dict.txt"
 
-    def __init__(self, entries: Optional[Dict[str, List[str]]] = None):
-        self._table: Dict[str, List[str]] = {}
+# Module-level cache of the parsed default table (stress-stripped). Parsing
+# 135k lines costs a few hundred ms; instances copy the cached dict instead.
+_DEFAULT_TABLE: Optional[Dict[str, List[str]]] = None
+
+
+def _parse_cmudict_lines(
+    raw: str, table: Dict[str, List[str]], keep_stress: bool
+) -> None:
+    """Parse CMUdict-format text into ``table`` (first pronunciation wins).
+
+    Lines look like ``WORD  P1 P2 ...`` or ``WORD(2)  P1 ...`` for alternate
+    pronunciations (skipped — the reference takes ``cmudict[word][0]``,
+    text.py:177-183). Comment lines start with ``;;;`` or ``##``.
+    """
+    for line in raw.splitlines():
+        line = line.strip()
+        if not line or line.startswith(";;;") or line.startswith("##"):
+            continue
+        parts = line.split()
+        if len(parts) < 2:
+            continue
+        word = parts[0].lower()
+        if "(" in word:  # alternate pronunciation — first one wins
+            continue
+        phones = parts[1:]
+        if not keep_stress:
+            phones = [strip_stress(p) for p in phones]
+        # Keep only plausible ARPABET symbols.
+        if all(strip_stress(p) in _ARPABET_SET for p in phones):
+            table.setdefault(word, phones)
+
+
+def _default_table() -> Dict[str, List[str]]:
+    """Built-in core + vendored CMUdict (if present), cached per process."""
+    global _DEFAULT_TABLE
+    if _DEFAULT_TABLE is None:
+        table: Dict[str, List[str]] = {}
+        # Dictionary first so its pronunciations win (reference-identical);
+        # the built-in core only fills gaps when the data file is absent.
+        if _VENDORED_CMUDICT.exists():
+            _parse_cmudict_lines(
+                _VENDORED_CMUDICT.read_text(encoding="latin-1"),
+                table,
+                keep_stress=False,
+            )
         for line in _BUILTIN_ENTRIES.strip().splitlines():
             parts = line.split()
-            self._table[parts[0]] = parts[1:]
+            table.setdefault(parts[0], parts[1:])
+        _DEFAULT_TABLE = table
+    return _DEFAULT_TABLE
+
+
+class Lexicon:
+    """Word → ARPABET pronunciation table.
+
+    By default includes the full vendored CMUdict (126k+ words) plus the
+    built-in core entries. Pass ``load_cmudict=False`` for the tiny built-in
+    core only (useful for testing the G2P fallback).
+    """
+
+    def __init__(
+        self,
+        entries: Optional[Dict[str, List[str]]] = None,
+        load_cmudict: bool = True,
+    ):
+        if load_cmudict:
+            self._table: Dict[str, List[str]] = dict(_default_table())
+        else:
+            self._table = {}
+            for line in _BUILTIN_ENTRIES.strip().splitlines():
+                parts = line.split()
+                self._table[parts[0]] = parts[1:]
         if entries:
             self._table.update(entries)
 
@@ -106,31 +176,12 @@ class Lexicon:
     def from_cmudict_file(
         cls, path: str | Path, keep_stress: bool = False
     ) -> "Lexicon":
-        """Parse a CMUdict-format file.
-
-        Lines look like ``WORD  P1 P2 ...`` or ``WORD(2)  P1 ...`` for
-        alternate pronunciations (first pronunciation wins, matching the
-        reference's ``cmudict[word][0]`` at text.py:177-183). Comment lines
-        start with ``;;;``.
-        """
-        lex = cls()
-        raw = Path(path).read_text(encoding="latin-1")
-        for line in raw.splitlines():
-            line = line.strip()
-            if not line or line.startswith(";;;") or line.startswith("##"):
-                continue
-            parts = line.split()
-            if len(parts) < 2:
-                continue
-            word = parts[0].lower()
-            if "(" in word:  # alternate pronunciation — first one wins
-                continue
-            phones = parts[1:]
-            if not keep_stress:
-                phones = [strip_stress(p) for p in phones]
-            # Keep only plausible ARPABET symbols.
-            if all(strip_stress(p) in _ARPABET_SET for p in phones):
-                lex._table.setdefault(word, phones)
+        """Parse a CMUdict-format file on top of the built-in core only
+        (the explicit file fully defines the dictionary contents)."""
+        lex = cls(load_cmudict=False)
+        _parse_cmudict_lines(
+            Path(path).read_text(encoding="latin-1"), lex._table, keep_stress
+        )
         return lex
 
     def lookup(self, word: str) -> Optional[List[str]]:

@@ -133,6 +133,93 @@ def test_lexicon_from_cmudict_format(tmp_path):
 
 def test_strip_stress():
     assert strip_stress("AH0") == "AH"
+
+
+# -- vendored CMUdict (reference vendors the same table at data/cmu_dict.txt,
+#    loaded via nltk at text.py:83-92; first pronunciation + stress stripped) --
+
+
+def test_default_lexicon_ships_full_cmudict():
+    lex = Lexicon()
+    assert len(lex) > 100_000
+    # Battery of first-pronunciation, stress-stripped entries straight from
+    # the CMUdict data table (reference contract: cmudict[word][0] with
+    # stress digits removed, text.py:177-198).
+    battery = {
+        "the": ["DH", "AH"],
+        "quick": ["K", "W", "IH", "K"],
+        "brown": ["B", "R", "AW", "N"],
+        "fox": ["F", "AA", "K", "S"],
+        "jumps": ["JH", "AH", "M", "P", "S"],
+        "over": ["OW", "V", "ER"],
+        "lazy": ["L", "EY", "Z", "IY"],
+        "dog": ["D", "AO", "G"],
+        "seashells": ["S", "IY", "SH", "EH", "L", "Z"],
+        "pronunciation": [
+            "P", "R", "OW", "N", "AH", "N", "S", "IY", "EY", "SH", "AH", "N",
+        ],
+        "algorithm": ["AE", "L", "G", "ER", "IH", "DH", "AH", "M"],
+        # 'ababa' has an (2) alternate in the file — first must win.
+        "ababa": ["AH", "B", "AA", "B", "AH"],
+    }
+    for word, phones in battery.items():
+        assert lex.lookup(word) == phones, word
+
+
+def test_default_lexicon_matches_reference_table():
+    """When the reference data file is reachable, the vendored table must be
+    byte-identical (it is the same public-domain dictionary)."""
+    import hashlib
+    from pathlib import Path
+
+    from iris_tts_tpu.text.lexicon import _VENDORED_CMUDICT
+
+    ref = Path("/root/reference/data/cmu_dict.txt")
+    if not ref.exists():
+        pytest.skip("reference data not present")
+    assert (
+        hashlib.sha256(_VENDORED_CMUDICT.read_bytes()).hexdigest()
+        == hashlib.sha256(ref.read_bytes()).hexdigest()
+    )
+
+
+def test_lexicon_opt_out_is_core_only():
+    lex = Lexicon(load_cmudict=False)
+    assert len(lex) < 100
+    assert lex.lookup("hello") == ["HH", "AH", "L", "OW"]
+    assert lex.lookup("seashells") is None
+
+
+def test_g2p_error_rate_vs_cmudict():
+    """Quantify the rule-G2P fallback against a deterministic CMUdict sample.
+
+    This is a measurement with a loose ceiling, not a quality gate: measured
+    phoneme error rate is ~0.29 (word exact-match ~0.16), which is why the
+    full dictionary ships as the default lexicon and G2P only handles true
+    out-of-vocabulary words.
+    """
+    from iris_tts_tpu.text.lexicon import _default_table
+
+    table = _default_table()
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[:], i
+            for j, cb in enumerate(b, 1):
+                d[j] = min(prev[j] + 1, d[j - 1] + 1, prev[j - 1] + (ca != cb))
+        return d[-1]
+
+    words = sorted(w for w in table if w.isalpha() and len(w) > 2)
+    sample = words[::97]  # ~1.2k words, deterministic
+    assert len(sample) > 1000
+    exact = sum(g2p(w) == table[w] for w in sample)
+    num = sum(lev(g2p(w), table[w]) for w in sample)
+    den = sum(len(table[w]) for w in sample)
+    per = num / den
+    print(f"g2p vs CMUdict: exact={exact / len(sample):.3f} PER={per:.3f}")
+    assert per < 0.40
+    assert exact / len(sample) > 0.10
     assert strip_stress("EY1") == "EY"
     assert strip_stress("K") == "K"
 

@@ -191,6 +191,38 @@ def test_full_generator_parity(rng):
     assert np.abs(got - want).max() < 2e-4
 
 
+def test_full_generator_parity_production(rng):
+    """BASELINE 1e-3 contract at PRODUCTION scale: the full 512-channel,
+    (8,8,2,2)-upsample, (3,7,11)-MRF generator (the topology of the
+    speechbrain checkpoint named at reference hifigan_pretrained.py:270-273)
+    converted from a seeded torch fixture, over >1 s of audio. Catches
+    production-shape-only layout bugs the reduced config cannot.
+    (~45 s on CPU: torch forward + one large XLA compile, then cached.)
+    """
+    cfg = HiFiGANConfig()  # production defaults: 80-mel, 512-ch, x256
+    torch.manual_seed(1234)
+    tgen = _TorchGenerator(cfg).eval()
+    T = 87  # 87 frames * 256 hop = 22272 samples > 1 s at 22050 Hz
+    mel = rng.standard_normal((1, T, cfg.in_channels)).astype(np.float32)
+
+    with torch.no_grad():
+        want = tgen(torch.from_numpy(mel.transpose(0, 2, 1))).numpy()[:, 0, :]
+
+    params = convert_hifigan_state_dict(tgen.state_dict(), cfg)
+    gen = HiFiGANGenerator(config=cfg)
+    got = np.asarray(
+        jax.jit(lambda p, m: gen.apply({"params": p}, m))(
+            params, jnp.asarray(mel)
+        )
+    )
+
+    assert got.shape == want.shape == (1, T * 256)
+    assert got.shape[1] >= 22050  # >= 1 s of audio
+    max_abs = np.abs(got - want).max()
+    print(f"production parity max|Δ| = {max_abs:.2e}")
+    assert max_abs < 1e-3
+
+
 def test_converted_params_match_init_structure():
     """Converted tree must be loadable into the module (same treedef)."""
     torch.manual_seed(0)

@@ -120,9 +120,19 @@ def read_wav_batch(
     paths: List[str | Path],
     max_samples: int,
     num_threads: int = 8,
+    expected_sample_rate: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batch decode → (audio [N, max_samples] zero-padded, lengths [N],
-    rates [N]). Thread-pooled in C++; Python loop as fallback."""
+    rates [N]). Thread-pooled in C++; Python loop as fallback.
+
+    Rows are returned at each file's native sample rate. Pass
+    ``expected_sample_rate`` to resample (with a warning) any row whose rate
+    differs — otherwise callers MUST validate the returned ``rates`` array,
+    or a mixed-rate corpus silently produces wrong-timebase features.
+    Note resampling happens after the decode is clipped to ``max_samples``,
+    so size the buffer for the NATIVE rate of the longest file (a 44.1 kHz
+    row needs 2x the 22.05 kHz budget to survive downsampling intact).
+    """
     lib = get_lib()
     n = len(paths)
     audio = np.zeros((n, max_samples), np.float32)
@@ -135,19 +145,40 @@ def read_wav_batch(
             audio[i, :take] = mono[:take]
             lengths[i] = take
             rates[i] = sr
-        return audio, lengths, rates
-    blob = b"".join(str(p).encode() + b"\x00" for p in paths)
-    failures = lib.iris_read_wav_batch(
-        blob,
-        n,
-        max_samples,
-        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        num_threads,
-    )
-    if failures:
-        logger.warning("%d/%d files failed to decode", failures, n)
+    else:
+        blob = b"".join(str(p).encode() + b"\x00" for p in paths)
+        failures = lib.iris_read_wav_batch(
+            blob,
+            n,
+            max_samples,
+            audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            num_threads,
+        )
+        if failures:
+            logger.warning("%d/%d files failed to decode", failures, n)
+    if expected_sample_rate is not None:
+        mismatched = np.flatnonzero(
+            (rates != expected_sample_rate) & (lengths > 0)
+        )
+        if mismatched.size:
+            from iris_tts_tpu.data.audio_io import resample
+
+            logger.warning(
+                "%d/%d files are not at %d Hz — resampling them",
+                mismatched.size, n, expected_sample_rate,
+            )
+            for i in mismatched:
+                row = resample(
+                    audio[i, : lengths[i]], int(rates[i]),
+                    expected_sample_rate,
+                )
+                take = min(len(row), max_samples)
+                audio[i, :take] = row[:take]
+                audio[i, take:] = 0.0
+                lengths[i] = take
+                rates[i] = expected_sample_rate
     return audio, lengths, rates
 
 

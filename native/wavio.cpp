@@ -129,9 +129,14 @@ int parse_wav(const uint8_t* data, size_t size, Wav* out) {
 int read_file(const char* path, std::vector<uint8_t>* buf) {
   FILE* f = fopen(path, "rb");
   if (!f) return 1;
-  fseek(f, 0, SEEK_END);
-  long size = ftell(f);
-  fseek(f, 0, SEEK_SET);
+  long size = -1;
+  if (fseek(f, 0, SEEK_END) == 0) size = ftell(f);
+  // ftell returns -1 for pipes/directories (and >2 GB files on 32-bit
+  // long); resizing to (size_t)-1 would throw and kill the host process.
+  if (size < 0 || fseek(f, 0, SEEK_SET) != 0) {
+    fclose(f);
+    return 1;
+  }
   buf->resize((size_t)size);
   size_t got = fread(buf->data(), 1, (size_t)size, f);
   fclose(f);
@@ -167,8 +172,12 @@ extern "C" {
 
 // Read one WAV, downmixed to mono float32. Caller frees with iris_free.
 // Returns 0 on success.
+// NOTE: every extern "C" entry point catches all C++ exceptions (e.g.
+// bad_alloc on a corrupt size field) and translates them to error codes —
+// an exception escaping into the ctypes caller would std::terminate the
+// host Python process.
 int iris_read_wav_mono(const char* path, float** out, int64_t* n_samples,
-                       int* sample_rate) {
+                       int* sample_rate) try {
   std::vector<float> mono;
   int rate = 0;
   int rc = load_mono(path, &mono, &rate);
@@ -179,6 +188,8 @@ int iris_read_wav_mono(const char* path, float** out, int64_t* n_samples,
   *n_samples = (int64_t)mono.size();
   *sample_rate = rate;
   return 0;
+} catch (...) {
+  return 101;
 }
 
 void iris_free(void* p) { free(p); }
@@ -189,7 +200,7 @@ void iris_free(void* p) { free(p); }
 // Returns number of failures.
 int iris_read_wav_batch(const char* paths, int n, int64_t max_samples,
                         float* out, int64_t* lengths, int* rates,
-                        int num_threads) {
+                        int num_threads) try {
   std::vector<const char*> files(n);
   const char* p = paths;
   for (int i = 0; i < n; ++i) {
@@ -202,25 +213,33 @@ int iris_read_wav_batch(const char* paths, int n, int64_t max_samples,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      std::vector<float> mono;
-      int rate = 0;
-      if (load_mono(files[i], &mono, &rate)) {
+      bool ok = false;
+      // An exception leaving a std::thread body calls std::terminate, so
+      // per-file failures (including allocation) become failure counts.
+      try {
+        std::vector<float> mono;
+        int rate = 0;
+        if (load_mono(files[i], &mono, &rate) == 0) {
+          int64_t take =
+              (int64_t)mono.size() < max_samples ? (int64_t)mono.size()
+                                                 : max_samples;
+          memcpy(out + (int64_t)i * max_samples, mono.data(),
+                 (size_t)take * sizeof(float));
+          memset(out + (int64_t)i * max_samples + take, 0,
+                 (size_t)(max_samples - take) * sizeof(float));
+          lengths[i] = take;
+          rates[i] = rate;
+          ok = true;
+        }
+      } catch (...) {
+      }
+      if (!ok) {
         failures.fetch_add(1);
         lengths[i] = 0;
         rates[i] = 0;
         memset(out + (int64_t)i * max_samples, 0,
                (size_t)max_samples * sizeof(float));
-        continue;
       }
-      int64_t take =
-          (int64_t)mono.size() < max_samples ? (int64_t)mono.size()
-                                             : max_samples;
-      memcpy(out + (int64_t)i * max_samples, mono.data(),
-             (size_t)take * sizeof(float));
-      memset(out + (int64_t)i * max_samples + take, 0,
-             (size_t)(max_samples - take) * sizeof(float));
-      lengths[i] = take;
-      rates[i] = rate;
     }
   };
   int threads = num_threads > 0 ? num_threads : 4;
@@ -229,11 +248,22 @@ int iris_read_wav_batch(const char* paths, int n, int64_t max_samples,
   for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
   for (auto& t : pool) t.join();
   return failures.load();
+} catch (...) {
+  return n > 0 ? n : 1;  // treat a setup failure as "all files failed"
 }
 
 // Encode mono float32 → 16-bit PCM WAV on disk. Returns 0 on success.
 int iris_write_wav_pcm16(const char* path, const float* samples,
-                         int64_t n_samples, int sample_rate) {
+                         int64_t n_samples, int sample_rate) try {
+  // Encode before opening the file so an allocation failure can't leak the
+  // FILE handle out of the catch below.
+  std::vector<int16_t> pcm(n_samples);
+  for (int64_t i = 0; i < n_samples; ++i) {
+    float v = samples[i];
+    if (v > 1.0f) v = 1.0f;
+    if (v < -1.0f) v = -1.0f;
+    pcm[i] = (int16_t)(v * 32767.0f);
+  }
   FILE* f = fopen(path, "wb");
   if (!f) return 1;
   uint32_t data_size = (uint32_t)(n_samples * 2);
@@ -255,16 +285,11 @@ int iris_write_wav_pcm16(const char* path, const float* samples,
   memcpy(header + 36, "data", 4);
   memcpy(header + 40, &data_size, 4);
   fwrite(header, 1, 44, f);
-  std::vector<int16_t> pcm(n_samples);
-  for (int64_t i = 0; i < n_samples; ++i) {
-    float v = samples[i];
-    if (v > 1.0f) v = 1.0f;
-    if (v < -1.0f) v = -1.0f;
-    pcm[i] = (int16_t)(v * 32767.0f);
-  }
   fwrite(pcm.data(), 2, (size_t)n_samples, f);
   fclose(f);
   return 0;
+} catch (...) {
+  return 2;
 }
 
 }  // extern "C"

@@ -186,7 +186,11 @@ def main() -> None:
             )
             n_frames = np.asarray(n_frames_arr).astype(int)
             audio_np = np.asarray(audio)
-            meter_total_samples += int(n_frames.sum()) * hop
+            # Count only unique rows: the final partial batch is padded with
+            # duplicate rows, which must not inflate the realtime factor.
+            uniq = [r for r, i in enumerate(idxs)
+                    if r == 0 or i != idxs[r - 1]]
+            meter_total_samples += int(n_frames[uniq].sum()) * hop
 
             if args.write_wavs:
                 for r, i in enumerate(idxs):

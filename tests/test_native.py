@@ -63,6 +63,29 @@ def test_native_batch_read(tmp_path, rng, lib):
         np.testing.assert_allclose(audio[i, take:], 0.0)
 
 
+def test_native_batch_read_resamples_mixed_rates(tmp_path, rng, lib):
+    """A mixed-rate corpus with expected_sample_rate set must come back
+    uniformly at that rate (ADVICE r1: silent wrong-timebase features)."""
+    t = np.arange(44100) / 44100.0
+    hi = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)  # 1 s @ 44.1k
+    lo = (0.5 * np.sin(2 * np.pi * 220 * t[::2])).astype(np.float32)[:11025]
+    p_hi, p_lo = tmp_path / "hi.wav", tmp_path / "lo.wav"
+    audio_io.write_wav(p_hi, hi, 44100, subtype="float32")
+    audio_io.write_wav(p_lo, lo, 22050, subtype="float32")
+    audio, lengths, rates = native.read_wav_batch(
+        [p_hi, p_lo], max_samples=46000, expected_sample_rate=22050
+    )
+    assert list(rates) == [22050, 22050]
+    assert audio.shape == (2, 46000)
+    # 1 s at 44.1k resampled to 22.05k → ~22050 samples.
+    assert abs(int(lengths[0]) - 22050) <= 2
+    assert int(lengths[1]) == 11025  # already at rate: untouched
+    # Resampled sine keeps its amplitude and zero padding stays zero.
+    seg = audio[0, 1000 : int(lengths[0]) - 1000]
+    assert 0.45 < np.abs(seg).max() < 0.55
+    np.testing.assert_allclose(audio[0, int(lengths[0]) :], 0.0)
+
+
 def test_native_batch_read_with_missing_file(tmp_path, rng, lib):
     s = (0.3 * rng.standard_normal(256)).astype(np.float32)
     good = tmp_path / "good.wav"

@@ -19,6 +19,7 @@ dim) and kernels in flax layout ``[K, C_in/groups, C_out]``.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -28,6 +29,30 @@ import jax.numpy as jnp
 # Below this input-channel count, direct convs switch from k shifted
 # matmuls to a single im2col matmul (wider MXU contraction dim).
 _IM2COL_MAX_CIN = 64
+
+# Implementation selector. XLA's native conv lowering keeps the im2col
+# buffer in VMEM and is ~3x faster than the explicit matmul decomposition on
+# healthy TPU backends (measured: 4.0 vs 13.3 ms for a [8,65536,128] k=11
+# conv on v5e). The matmul path remains for PJRT backends whose conv
+# executables are broken (one tunneled backend ran a tiny conv1d for ~10
+# minutes) — select with IRIS_CONV_IMPL=matmul|native (default native).
+_IMPL = os.environ.get("IRIS_CONV_IMPL", "native")
+
+
+def set_default_impl(impl: str) -> None:
+    """Set the process-wide conv implementation ('native' or 'matmul').
+
+    Call before tracing: jitted graphs bake in whichever path was active
+    when they were traced.
+    """
+    global _IMPL
+    if impl not in ("native", "matmul"):
+        raise ValueError(f"unknown conv impl {impl!r}")
+    _IMPL = impl
+
+
+def _use_native(impl: Optional[str]) -> bool:
+    return (impl or _IMPL) == "native"
 
 
 def _matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -46,14 +71,17 @@ def conv1d_mm(
     dilation: int = 1,
     padding: Optional[Tuple[int, int]] = None,
     groups: int = 1,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Cross-correlation (torch/flax Conv semantics) via shifted matmuls.
+    """Cross-correlation (torch/flax Conv semantics), MXU-native.
 
     Args:
         x: [B, T, C_in].
         kernel: [K, C_in // groups, C_out].
         padding: (left, right); default = torch same-padding
             ``((K·d − d) // 2,) * 2``.
+        impl: 'native' (XLA conv) or 'matmul' (shifted matmuls); default =
+            the module default (see :func:`set_default_impl`).
     Returns:
         [B, T_out, C_out] with T_out = (T + pl + pr − (K−1)·d − 1)//stride + 1.
     """
@@ -62,6 +90,19 @@ def conv1d_mm(
         p = (k * dilation - dilation) // 2
         padding = (p, p)
     pl, pr = padding
+
+    if _use_native(impl):
+        # kernel [K, C_in/g, C_out] IS "WIO"; x [B, T, C] IS "NWC".
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(stride,),
+            padding=((pl, pr),),
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (pl, pr), (0, 0)))
     t_pad = xp.shape[1]
     t_out = (t_pad - (k - 1) * dilation - 1) // stride + 1
@@ -120,6 +161,7 @@ def conv_transpose1d_mm(
     *,
     stride: int,
     crop: Optional[int] = None,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Torch ConvTranspose1d via per-residue shifted matmuls.
 
@@ -147,6 +189,20 @@ def conv_transpose1d_mm(
     if crop is None:
         crop = (k - u) // 2
     b, t, _ = x.shape
+
+    if _use_native(impl):
+        # True convolution == cross-correlation with the K axis flipped;
+        # upsampling == lhs dilation. Padding (k-1-crop) per side yields
+        # out length (T-1)·u + k - 2·crop (== T·u for the torch default).
+        return jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(kernel, 0),
+            window_strides=(1,),
+            padding=((k - 1 - crop, k - 1 - crop),),
+            lhs_dilation=(u,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
 
     m_max = (k - 1) // u + 1  # max taps in any phase
     base_max = (u - 1 + crop) // u
@@ -182,11 +238,22 @@ def conv2d_mm(
     *,
     strides: Tuple[int, int] = (1, 1),
     padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0)),
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Small-kernel 2-D conv via shifted matmuls (for the MPD discriminator's
-    (5,1)/(3,1) kernels). x [B, H, W, C_in], kernel [KH, KW, C_in, C_out]."""
+    """Small-kernel 2-D conv (for the MPD discriminator's (5,1)/(3,1)
+    kernels). x [B, H, W, C_in], kernel [KH, KW, C_in, C_out]."""
     kh, kw, cin, cout = kernel.shape
     (pt, pb), (pl, pr) = padding
+
+    if _use_native(impl):
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=strides,
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
     sh, sw = strides
     h_out = (xp.shape[1] - kh) // sh + 1

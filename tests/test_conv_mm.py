@@ -8,6 +8,11 @@ import pytest
 from iris_tts_tpu.ops.conv import conv1d_mm, conv2d_mm, conv_transpose1d_mm
 
 
+# Both implementations must agree with ground truth: 'matmul' is the shifted-
+# matmul decomposition, 'native' the XLA conv lowering (the serving default).
+IMPLS = ("matmul", "native")
+
+
 def _lax_conv(x, w, stride=1, dilation=1, padding=(0, 0), groups=1):
     return jax.lax.conv_general_dilated(
         x, w, (stride,), [padding],
@@ -31,7 +36,8 @@ def _lax_conv(x, w, stride=1, dilation=1, padding=(0, 0), groups=1):
         (15, 1, 1, 1),
     ],
 )
-def test_conv1d_mm_matches_lax(rng, k, stride, dilation, groups):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_conv1d_mm_matches_lax(rng, k, stride, dilation, groups, impl):
     cin, cout, t = 16, 32, 64
     x = jnp.asarray(rng.standard_normal((2, t, cin)).astype(np.float32))
     w = jnp.asarray(
@@ -40,7 +46,8 @@ def test_conv1d_mm_matches_lax(rng, k, stride, dilation, groups):
     pad = ((k - 1) * dilation // 2, (k - 1) * dilation // 2)
     want = _lax_conv(x, w, stride, dilation, pad, groups)
     got = conv1d_mm(
-        x, w, stride=stride, dilation=dilation, padding=pad, groups=groups
+        x, w, stride=stride, dilation=dilation, padding=pad, groups=groups,
+        impl=impl,
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(
@@ -49,7 +56,8 @@ def test_conv1d_mm_matches_lax(rng, k, stride, dilation, groups):
 
 
 @pytest.mark.parametrize("k,u", [(16, 8), (4, 2), (8, 4), (6, 2), (3, 1)])
-def test_conv_transpose1d_mm_matches_torch(rng, k, u):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_conv_transpose1d_mm_matches_torch(rng, k, u, impl):
     torch = pytest.importorskip("torch")
     import torch.nn as tnn
 
@@ -66,20 +74,22 @@ def test_conv_transpose1d_mm_matches_torch(rng, k, u):
     # torch weight [C_in, C_out, K] → our layout [K, C_in, C_out], NO flip.
     w = tconv.weight.detach().numpy().transpose(2, 0, 1)
     got = conv_transpose1d_mm(
-        jnp.asarray(x), jnp.asarray(w), stride=u
+        jnp.asarray(x), jnp.asarray(w), stride=u, impl=impl
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
-def test_conv2d_mm_matches_lax(rng):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_conv2d_mm_matches_lax(rng, impl):
     x = jnp.asarray(rng.standard_normal((2, 20, 5, 4)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((5, 1, 4, 8)).astype(np.float32))
     want = jax.lax.conv_general_dilated(
         x, w, (3, 1), [(2, 2), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    got = conv2d_mm(x, w, strides=(3, 1), padding=((2, 2), (0, 0)))
+    got = conv2d_mm(x, w, strides=(3, 1), padding=((2, 2), (0, 0)),
+                    impl=impl)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 

@@ -80,6 +80,10 @@ class TTSPipeline:
     dtype: Any = jnp.float32
     phoneme_buckets: Tuple[int, ...] = PHONEME_BUCKETS
     frame_buckets: Tuple[int, ...] = FRAME_BUCKETS
+    # Frame budget per phoneme for the fused single-dispatch serving path
+    # (LJSpeech averages ~6-7 mel frames per phoneme; 12 leaves headroom —
+    # rare overflows compress durations proportionally instead of truncating).
+    fused_frames_per_phoneme: int = 12
 
     def __post_init__(self):
         cfg = self.config
@@ -100,6 +104,10 @@ class TTSPipeline:
         )
         self._stage_b_mel = jax.jit(
             self._stage_b_mel_fn,
+            static_argnames=("total_frames", "use_postnet"),
+        )
+        self._fused = jax.jit(
+            self._fused_fn,
             static_argnames=("total_frames", "use_postnet"),
         )
         self._vocode = jax.jit(self._vocode_fn)
@@ -363,6 +371,32 @@ class TTSPipeline:
             params, enc, frames, seed, total_frames, temperature, use_postnet
         )
 
+    def _fused_fn(self, params, ids, lengths, seed, *, total_frames,
+                  temperature=1.0, use_postnet=True):
+        """Single-dispatch serving path: stage A + stage B in ONE executable.
+
+        The frame budget is estimated on the host from the phoneme count
+        (``fused_frames_per_phoneme``) instead of the predicted durations, so
+        no scalar needs to return to the host between the encoder and the
+        acoustic stack — one utterance costs one device round trip. If the
+        predicted total overflows the budget, durations are scaled down
+        proportionally (integer floor keeps the sum within budget), slightly
+        compressing speech rate rather than truncating audio.
+        """
+        enc, frames, _ = self._stage_a_fn(params, ids, lengths)
+        total = jnp.sum(frames, axis=1, keepdims=True)  # [B, 1]
+        capped = jnp.minimum(total, total_frames)
+        frames = jnp.where(
+            total > total_frames,
+            (frames * capped) // jnp.maximum(total, 1),
+            frames,
+        )
+        mel, n_frames = self._acoustic(
+            params, enc, frames, seed, total_frames, temperature, use_postnet
+        )
+        audio = self._hifigan.apply({"params": params["hifigan"]}, mel)
+        return audio, mel, n_frames
+
     def _vocode_fn(self, params, mel):
         return self._hifigan.apply({"params": params["hifigan"]}, mel)
 
@@ -419,12 +453,23 @@ class TTSPipeline:
             )
         return enc, frames, t_bucket
 
+    def _fused_frame_budget(self, lengths: np.ndarray) -> int:
+        """Host-side frame-budget estimate for the fused path (static per
+        (P, T) bucket pair, so the jit cache stays tiny)."""
+        factor = self.config.vae.down_factor
+        est = int(lengths.max()) * self.fused_frames_per_phoneme
+        return pick_bucket(
+            round_up_to_multiple(max(est, factor), factor),
+            self.frame_buckets,
+        )
+
     def synthesize(
         self,
         text: Union[str, Sequence[str]],
         seed: Optional[int] = None,
         temperature: float = 1.0,
         return_mel: bool = False,
+        fused: Optional[bool] = None,
     ):
         """Text → 22.05 kHz waveform(s).
 
@@ -432,25 +477,47 @@ class TTSPipeline:
         of arrays, trimmed to each utterance's true length). This is the
         working version of the reference stub (model.py:17-27) following the
         real pipeline of scripts/synthesize.py:64-220.
+
+        ``fused`` selects the single-dispatch path (frame budget estimated
+        from phoneme count; one device round trip per call). Default: fused
+        for a single utterance (latency-bound), two-stage for batches (the
+        measured frame bucket keeps batch compute tight).
         """
         single = isinstance(text, str)
         texts = [text] if single else list(text)
-        enc, frames, t_bucket = self._run_stage_a(texts)
+        if fused is None:
+            fused = len(texts) == 1
 
-        audio, mel, n_frames_arr = self._stage_b(
-            self.params, enc, frames, self._next_seed(seed),
-            total_frames=t_bucket, temperature=temperature,
-            use_postnet=self.use_postnet,
-        )
+        if fused:
+            ids_np, lengths = self._encode_texts(texts)
+            t_bucket = self._fused_frame_budget(lengths)
+            audio, mel, n_frames_arr = self._fused(
+                self.params, jnp.asarray(ids_np), jnp.asarray(lengths),
+                self._next_seed(seed), total_frames=t_bucket,
+                temperature=temperature, use_postnet=self.use_postnet,
+            )
+        else:
+            enc, frames, t_bucket = self._run_stage_a(texts)
+            audio, mel, n_frames_arr = self._stage_b(
+                self.params, enc, frames, self._next_seed(seed),
+                total_frames=t_bucket, temperature=temperature,
+                use_postnet=self.use_postnet,
+            )
 
         hop = self.config.hifigan.total_upsample  # samples per mel frame
-        n_frames = np.asarray(n_frames_arr).astype(np.int64)
-        audio_np = np.asarray(audio, np.float32)
+        # ONE batched device→host fetch: separate np.asarray calls each pay
+        # the full per-transfer round trip on tunneled backends.
+        if return_mel:
+            audio_np, mel_np, n_frames = jax.device_get(
+                (audio, mel, n_frames_arr)
+            )
+        else:
+            audio_np, n_frames = jax.device_get((audio, n_frames_arr))
+        n_frames = n_frames.astype(np.int64)
+        audio_np = np.asarray(audio_np, np.float32)
         outs = [a[: int(n) * hop] for a, n in zip(audio_np, n_frames)]
         if return_mel:
-            mels = [
-                np.asarray(m[: int(n)]) for m, n in zip(mel, n_frames)
-            ]
+            mels = [m[: int(n)] for m, n in zip(mel_np, n_frames)]
             return (outs[0], mels[0]) if single else (outs, mels)
         return outs[0] if single else outs
 
@@ -469,8 +536,9 @@ class TTSPipeline:
             total_frames=t_bucket, temperature=temperature,
             use_postnet=self.use_postnet,
         )
-        n_frames = np.asarray(n_frames_arr).astype(np.int64)
-        outs = [np.asarray(m[: int(n)]) for m, n in zip(mel, n_frames)]
+        mel_np, n_frames = jax.device_get((mel, n_frames_arr))
+        n_frames = n_frames.astype(np.int64)
+        outs = [m[: int(n)] for m, n in zip(mel_np, n_frames)]
         return outs[0] if single else outs
 
     def vocode(self, mel) -> np.ndarray:

@@ -77,6 +77,61 @@ def test_synthesize_deterministic_with_seed(pipeline):
     assert (len(a) != len(c)) or not np.array_equal(a, c)
 
 
+def test_synthesize_fused_single_dispatch(pipeline):
+    """Default single-utterance path is fused (one device round trip); it
+    must agree with the two-stage path on the trimmed length (same duration
+    predictor, no overflow at the default budget)."""
+    a = pipeline.synthesize("hello world", seed=5)  # fused by default
+    b = pipeline.synthesize("hello world", seed=5, fused=False)
+    assert len(a) == len(b)
+    assert np.isfinite(a).all()
+    assert np.abs(a).max() <= 1.0
+
+
+def test_fused_deterministic_with_seed(pipeline):
+    a = pipeline.synthesize("hello world", seed=11)
+    b = pipeline.synthesize("hello world", seed=11)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fused_overflow_compresses_durations(pipeline):
+    """When predicted frames exceed the fused budget, durations scale down
+    proportionally (speech-rate compression) instead of truncating audio."""
+    pipe2 = dataclasses.replace(
+        pipeline, frame_buckets=(8,), fused_frames_per_phoneme=1
+    )
+    audio, mel = pipe2.synthesize(
+        "hello world how are you", seed=0, return_mel=True
+    )
+    hop = pipe2.config.hifigan.total_upsample
+    # durations_from_log clips every phoneme to >=1 frame, so the predicted
+    # total necessarily exceeds the 8-frame budget here.
+    assert 0 < len(audio) <= 8 * hop
+    assert len(audio) == mel.shape[0] * hop
+    assert np.isfinite(audio).all()
+
+
+def test_bfloat16_parity_with_float32(pipeline):
+    """bf16 quality gate (VERDICT r1 item 5): at temperature=0 (no sampling
+    chaos) the bf16 pipeline must track f32 closely — params stay f32, only
+    activations drop precision. Measured: mel max|Δ| ≈ 0.012 against a mel
+    rms of 0.17; the bounds below are ~4x headroom."""
+    pipe16 = dataclasses.replace(pipeline, dtype=jnp.bfloat16)
+    a32, m32 = pipeline.synthesize(
+        "hello world this is a test", seed=7, temperature=0.0, return_mel=True
+    )
+    a16, m16 = pipe16.synthesize(
+        "hello world this is a test", seed=7, temperature=0.0, return_mel=True
+    )
+    assert len(a32) == len(a16)
+    assert m32.shape == m16.shape
+    d_mel = np.abs(m32.astype(np.float32) - m16.astype(np.float32))
+    assert d_mel.max() < 0.05
+    assert d_mel.mean() < 0.01
+    assert np.abs(a32 - a16).max() < 1e-3
+    assert a16.dtype == np.float32  # public API always returns f32 audio
+
+
 def test_synthesize_batch_trims_individually(pipeline):
     outs = pipeline.synthesize(["hello", "hello world how are you"], seed=1)
     assert isinstance(outs, list) and len(outs) == 2

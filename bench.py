@@ -41,7 +41,9 @@ def main() -> None:
     from iris_tts_tpu.models.pipeline import TTSPipeline
 
     cfg = IrisConfig()
-    pipe = TTSPipeline.initialize(cfg, seed=1337)
+    # bf16 activations are the serving default (params stay f32): gated by
+    # tests/test_pipeline.py::test_bfloat16_parity_with_float32.
+    pipe = TTSPipeline.initialize(cfg, seed=1337, dtype=jnp.bfloat16)
 
     # Serving-shaped workload: batch of 8 utterances, 64 phonemes each,
     # 1024-frame bucket (≈ 11.9 s of audio per utterance).
@@ -88,9 +90,11 @@ def main() -> None:
     sr = cfg.audio.sample_rate
     audio_seconds = audio.shape[0] * audio.shape[1] / sr
     rtf = audio_seconds / wall
+    mel_fps = B * T / wall  # mel frames synthesized per wall-clock second
     print(
         f"bench: {audio_seconds:.1f}s audio in {wall*1e3:.1f}ms "
-        f"({audio.shape}) → {rtf:.1f}x realtime",
+        f"({audio.shape}) → {rtf:.1f}x realtime, "
+        f"{mel_fps:.0f} mel frames/s",
         file=sys.stderr,
     )
 
@@ -104,14 +108,15 @@ def main() -> None:
             "vs_baseline": round(rtf / 50.0, 3),
         }))
         return
+    # Fused single-dispatch path (pipeline._fused_fn): one device round trip
+    # per utterance, scalar-forced (serving-dispatch latency).
     T1 = 256
     ids1, lengths1 = ids[:1], lengths[:1]
 
     @jax.jit
     def synth_one(params, ids, lengths, seed):
-        enc, frames, _ = pipe._stage_a_fn(params, ids, lengths)
-        audio, _, _ = pipe._stage_b_fn(
-            params, enc, frames, seed, total_frames=T1
+        audio, _, _ = pipe._fused_fn(
+            params, ids, lengths, seed, total_frames=T1
         )
         return audio
 
@@ -125,9 +130,24 @@ def main() -> None:
         lats.append(time.time() - t0)
     p50 = sorted(lats)[len(lats) // 2]
     print(
-        f"bench: p50 single-utterance latency = {p50*1e3:.1f} ms for "
-        f"{T1*cfg.audio.hop_length/sr:.2f}s of audio "
+        f"bench: p50 single-utterance latency (fused single dispatch) = "
+        f"{p50*1e3:.1f} ms for {T1*cfg.audio.hop_length/sr:.2f}s of audio "
         f"(includes the fixed per-dispatch tunnel round trip)",
+        file=sys.stderr,
+    )
+
+    # Public-API latency (text in → trimmed waveform on host, incl. the
+    # frontend and the batched device→host fetch).
+    text = "The quick brown fox jumps over the lazy dog."
+    pipe.synthesize(text, seed=0)  # compile
+    api_lats = []
+    for i in range(11):
+        t0 = time.time()
+        pipe.synthesize(text, seed=i)
+        api_lats.append(time.time() - t0)
+    api_p50 = sorted(api_lats)[len(api_lats) // 2]
+    print(
+        f"bench: p50 public-API synthesize latency = {api_p50*1e3:.1f} ms",
         file=sys.stderr,
     )
 
@@ -138,6 +158,9 @@ def main() -> None:
                 "value": round(rtf, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 50.0, 3),
+                "mel_frames_per_sec": round(mel_fps, 1),
+                "p50_fused_dispatch_ms": round(p50 * 1e3, 2),
+                "p50_public_api_ms": round(api_p50 * 1e3, 2),
             }
         )
     )

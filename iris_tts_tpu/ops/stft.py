@@ -190,7 +190,17 @@ def stft_magnitude(
     frames = frame_signal(audio, n_fft, hop_length, pad_mode)
     win = padded_window(n_fft, win_length)
     spec = jnp.fft.rfft(frames * win, n=n_fft, axis=-1)
-    return jnp.abs(spec).astype(audio.dtype)
+    return _grad_safe_magnitude(spec.real, spec.imag).astype(audio.dtype)
+
+
+def _grad_safe_magnitude(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(re² + im²) with a tiny floor under the root.
+
+    d(sqrt(x))/dx → ∞ at x = 0, so an exactly-silent bin (zero-padded audio,
+    DC of a zero frame) turns the GAN's mel-L1 gradient into NaN. The 1e-12
+    floor bounds |∂mag| while shifting magnitudes by ≤1e-6 — an order below
+    the 1e-5 log-clip of the feature contract (reference data.py:65)."""
+    return jnp.sqrt(re * re + im * im + 1e-12)
 
 
 def stft_magnitude_matmul(
@@ -219,7 +229,7 @@ def stft_magnitude_matmul(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return jnp.sqrt(re * re + im * im).astype(audio.dtype)
+    return _grad_safe_magnitude(re, im).astype(audio.dtype)
 
 
 # ---------------------------------------------------------------------------

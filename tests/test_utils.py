@@ -91,6 +91,61 @@ def test_griffin_lim_recovers_tone():
     assert abs(freqs[spec.argmax()] - 440.0) < 10.0
 
 
+def test_griffin_lim_roundtrip_quality():
+    """Quantified round trip (VERDICT r1 item 8): waveform → log-mel →
+    NNLS inversion → Griffin-Lim → waveform. Measured spectral convergence
+    ~0.22 with the PGD-NNLS default (clipped-pinv stand-in: ~0.42; pure
+    phase-recovery floor at 60 iterations: ~0.20); bounds carry margin."""
+    from iris_tts_tpu.config import AudioConfig
+    from iris_tts_tpu.ops.griffin_lim import griffin_lim, mel_to_linear
+    from iris_tts_tpu.ops.stft import log_mel_spectrogram, stft_magnitude_matmul
+
+    cfg = AudioConfig()
+    t = np.arange(cfg.sample_rate) / cfg.sample_rate
+    wave = (
+        0.4 * np.sin(2 * np.pi * 220 * t)
+        + 0.25 * np.sin(2 * np.pi * 660 * t)
+        + 0.1 * np.sin(2 * np.pi * 1320 * t)
+    ).astype(np.float32)
+
+    def spectral_convergence(audio_hat):
+        S = stft_magnitude_matmul(
+            jnp.asarray(wave), cfg.n_fft, cfg.hop_length, cfg.win_length,
+            cfg.pad_mode,
+        )
+        Sh = stft_magnitude_matmul(
+            jnp.asarray(audio_hat), cfg.n_fft, cfg.hop_length,
+            cfg.win_length, cfg.pad_mode,
+        )
+        n = min(S.shape[0], Sh.shape[0])
+        return float(
+            jnp.linalg.norm(S[:n] - Sh[:n]) / jnp.linalg.norm(S[:n])
+        )
+
+    mel = log_mel_spectrogram(jnp.asarray(wave), cfg)
+    audio_nnls = np.asarray(
+        griffin_lim(mel_to_linear(mel, cfg), cfg, n_iter=60)
+    )
+    sc_nnls = spectral_convergence(audio_nnls)
+    assert sc_nnls < 0.30
+
+    # Mel-domain round trip tightens further (the inversion error mostly
+    # lives in the fine linear-frequency structure the mel basis discards).
+    mel_hat = log_mel_spectrogram(jnp.asarray(audio_nnls), cfg)
+    n = min(mel.shape[0], mel_hat.shape[0])
+    assert float(jnp.mean(jnp.abs(mel[:n] - mel_hat[:n]))) < 0.8
+    assert np.mean(
+        np.argmax(np.asarray(mel[:n]), -1)
+        == np.argmax(np.asarray(mel_hat[:n]), -1)
+    ) > 0.9
+
+    # The NNLS default must beat the clipped-pinv stand-in it replaced.
+    audio_pinv = np.asarray(
+        griffin_lim(mel_to_linear(mel, cfg, method="pinv"), cfg, n_iter=60)
+    )
+    assert sc_nnls < spectral_convergence(audio_pinv) - 0.05
+
+
 def test_mel_to_linear_shape():
     from iris_tts_tpu.config import AudioConfig
     from iris_tts_tpu.ops.griffin_lim import mel_to_linear

@@ -17,6 +17,7 @@ Extra diagnostics go to stderr; stdout carries exactly the one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -61,11 +62,18 @@ def main() -> None:
     lengths = jnp.full((B,), P, jnp.int32)
     key = jnp.asarray(0, jnp.int32)
 
+    # Vocoder MRF implementation. The fused Pallas kernel (ops/mrf_pallas.py)
+    # cuts HBM passes ~18x on paper, but on this backend's XLA (which fuses
+    # the leaky-relu chains into native convs well) it measured 0.63-0.98x —
+    # i.e. NOT faster (scripts/bench_mrf.py, v5e, bf16) — so XLA stays the
+    # default; IRIS_MRF_IMPL=pallas opts in for re-evaluation on other TPUs.
+    mrf_impl = "xla" if on_cpu else os.environ.get("IRIS_MRF_IMPL", "xla")
+
     @jax.jit
     def synth(params, ids, lengths, seed):
         enc, frames, _ = pipe._stage_a_fn(params, ids, lengths)
         audio, mel, n_frames = pipe._stage_b_fn(
-            params, enc, frames, seed, total_frames=T
+            params, enc, frames, seed, total_frames=T, mrf_impl=mrf_impl
         )
         return audio
 
@@ -116,7 +124,7 @@ def main() -> None:
     @jax.jit
     def synth_one(params, ids, lengths, seed):
         audio, _, _ = pipe._fused_fn(
-            params, ids, lengths, seed, total_frames=T1
+            params, ids, lengths, seed, total_frames=T1, mrf_impl=mrf_impl
         )
         return audio
 
@@ -139,6 +147,7 @@ def main() -> None:
     # Public-API latency (text in → trimmed waveform on host, incl. the
     # frontend and the batched device→host fetch).
     text = "The quick brown fox jumps over the lazy dog."
+    pipe.mrf_impl = mrf_impl
     pipe.synthesize(text, seed=0)  # compile
     api_lats = []
     for i in range(11):

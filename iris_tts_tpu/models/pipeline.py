@@ -34,10 +34,14 @@ import numpy as np
 
 from iris_tts_tpu.config import IrisConfig
 from iris_tts_tpu.models.encoder import DurationPredictor, PhonemeEncoder
-from iris_tts_tpu.models.hifigan import HiFiGANGenerator
+from iris_tts_tpu.models.hifigan import (
+    HiFiGANGenerator,
+    hifigan_apply_fused,
+)
 from iris_tts_tpu.models.postnet import PostNet
 from iris_tts_tpu.models.vae import TextConditionedVAE
 from iris_tts_tpu.ops.length import (
+    gaussian_upsample,
     durations_from_log,
     length_regulate,
     padding_mask,
@@ -84,6 +88,16 @@ class TTSPipeline:
     # (LJSpeech averages ~6-7 mel frames per phoneme; 12 leaves headroom —
     # rare overflows compress durations proportionally instead of truncating).
     fused_frames_per_phoneme: int = 12
+    # Length regulator: "hard" (searchsorted gather, the reference contract)
+    # or "gaussian" (soft Gaussian upsampling — smooths phoneme boundaries in
+    # the frame conditioning; new functionality, ops/length.py).
+    upsample: str = "hard"
+    # Vocoder MRF implementation: "xla" (flax module, portable, default) or
+    # "pallas" (fused kernels for stages with C <= 128, ops/mrf_pallas.py;
+    # TPU only). On the v5e bench backend the fused kernel measured
+    # 0.63-0.98x of XLA (scripts/bench_mrf.py) — XLA already fuses this
+    # chain well — so "pallas" is an opt-in for re-evaluation, not a win.
+    mrf_impl: str = "xla"
 
     def __post_init__(self):
         cfg = self.config
@@ -100,17 +114,21 @@ class TTSPipeline:
         # after a trace would otherwise be silently ignored.
         self._stage_b = jax.jit(
             self._stage_b_fn,
-            static_argnames=("total_frames", "use_postnet"),
+            static_argnames=("total_frames", "use_postnet", "upsample",
+                             "mrf_impl"),
         )
         self._stage_b_mel = jax.jit(
             self._stage_b_mel_fn,
-            static_argnames=("total_frames", "use_postnet"),
+            static_argnames=("total_frames", "use_postnet", "upsample"),
         )
         self._fused = jax.jit(
             self._fused_fn,
-            static_argnames=("total_frames", "use_postnet"),
+            static_argnames=("total_frames", "use_postnet", "upsample",
+                             "mrf_impl"),
         )
-        self._vocode = jax.jit(self._vocode_fn)
+        self._vocode = jax.jit(
+            self._vocode_fn, static_argnames=("mrf_impl",)
+        )
 
     # ------------------------------------------------------------------
     # constructors
@@ -339,9 +357,14 @@ class TTSPipeline:
         return enc, frames, total
 
     def _acoustic(self, params, enc, frames, seed, total_frames, temperature,
-                  use_postnet):
+                  use_postnet, upsample="hard"):
         key = jax.random.PRNGKey(seed)  # traced: no extra host dispatch
-        cond, frame_mask = length_regulate(enc, frames, total_frames)
+        if upsample == "gaussian":
+            cond, frame_mask = gaussian_upsample(
+                enc, frames.astype(jnp.float32), total_frames
+            )
+        else:
+            cond, frame_mask = length_regulate(enc, frames, total_frames)
         mel, _ = self._vae.apply(
             {"params": params["vae"]},
             cond,
@@ -354,25 +377,37 @@ class TTSPipeline:
         n_frames = jnp.sum(frame_mask, axis=1).astype(jnp.int32)
         return mel, n_frames
 
+    def _apply_hifigan(self, params, mel, mrf_impl="xla"):
+        if mrf_impl == "pallas":
+            return hifigan_apply_fused(
+                params["hifigan"], mel, self.config.hifigan,
+                dtype=self.dtype, mrf_impl="pallas",
+            )
+        return self._hifigan.apply({"params": params["hifigan"]}, mel)
+
     def _stage_b_fn(self, params, enc, frames, seed, *, total_frames,
-                    temperature=1.0, use_postnet=True):
+                    temperature=1.0, use_postnet=True, upsample="hard",
+                    mrf_impl="xla"):
         """length-regulate + VAE + PostNet + HiFiGAN → waveform.
         ``seed``: scalar int32 (the PRNG key is derived inside the
         executable). Returns (audio, mel, per-row frame counts)."""
         mel, n_frames = self._acoustic(
-            params, enc, frames, seed, total_frames, temperature, use_postnet
+            params, enc, frames, seed, total_frames, temperature, use_postnet,
+            upsample,
         )
-        audio = self._hifigan.apply({"params": params["hifigan"]}, mel)
+        audio = self._apply_hifigan(params, mel, mrf_impl)
         return audio, mel, n_frames
 
     def _stage_b_mel_fn(self, params, enc, frames, seed, *, total_frames,
-                        temperature=1.0, use_postnet=True):
+                        temperature=1.0, use_postnet=True, upsample="hard"):
         return self._acoustic(
-            params, enc, frames, seed, total_frames, temperature, use_postnet
+            params, enc, frames, seed, total_frames, temperature, use_postnet,
+            upsample,
         )
 
     def _fused_fn(self, params, ids, lengths, seed, *, total_frames,
-                  temperature=1.0, use_postnet=True):
+                  temperature=1.0, use_postnet=True, upsample="hard",
+                  mrf_impl="xla"):
         """Single-dispatch serving path: stage A + stage B in ONE executable.
 
         The frame budget is estimated on the host from the phoneme count
@@ -392,13 +427,14 @@ class TTSPipeline:
             frames,
         )
         mel, n_frames = self._acoustic(
-            params, enc, frames, seed, total_frames, temperature, use_postnet
+            params, enc, frames, seed, total_frames, temperature, use_postnet,
+            upsample,
         )
-        audio = self._hifigan.apply({"params": params["hifigan"]}, mel)
+        audio = self._apply_hifigan(params, mel, mrf_impl)
         return audio, mel, n_frames
 
-    def _vocode_fn(self, params, mel):
-        return self._hifigan.apply({"params": params["hifigan"]}, mel)
+    def _vocode_fn(self, params, mel, mrf_impl="xla"):
+        return self._apply_hifigan(params, mel, mrf_impl)
 
     # ------------------------------------------------------------------
     # host-side API
@@ -495,13 +531,15 @@ class TTSPipeline:
                 self.params, jnp.asarray(ids_np), jnp.asarray(lengths),
                 self._next_seed(seed), total_frames=t_bucket,
                 temperature=temperature, use_postnet=self.use_postnet,
+                upsample=self.upsample, mrf_impl=self.mrf_impl,
             )
         else:
             enc, frames, t_bucket = self._run_stage_a(texts)
             audio, mel, n_frames_arr = self._stage_b(
                 self.params, enc, frames, self._next_seed(seed),
                 total_frames=t_bucket, temperature=temperature,
-                use_postnet=self.use_postnet,
+                use_postnet=self.use_postnet, upsample=self.upsample,
+                mrf_impl=self.mrf_impl,
             )
 
         hop = self.config.hifigan.total_upsample  # samples per mel frame
@@ -534,7 +572,7 @@ class TTSPipeline:
         mel, n_frames_arr = self._stage_b_mel(
             self.params, enc, frames, self._next_seed(seed),
             total_frames=t_bucket, temperature=temperature,
-            use_postnet=self.use_postnet,
+            use_postnet=self.use_postnet, upsample=self.upsample,
         )
         mel_np, n_frames = jax.device_get((mel, n_frames_arr))
         n_frames = n_frames.astype(np.int64)
@@ -550,7 +588,7 @@ class TTSPipeline:
             mel = mel[None]
         if mel.shape[-1] != self.config.hifigan.in_channels:
             mel = jnp.swapaxes(mel, -1, -2)  # reference layout in
-        audio = self._vocode(self.params, mel)
+        audio = self._vocode(self.params, mel, mrf_impl=self.mrf_impl)
         audio_np = np.asarray(audio, np.float32)
         return audio_np[0] if squeeze else audio_np
 

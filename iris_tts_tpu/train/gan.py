@@ -80,8 +80,10 @@ def make_gan_steps(
 
         adv = lsgan_generator_loss(fake_logits)
         fm = feature_matching_loss(real_feats, fake_feats)
-        fake_mel = log_mel_spectrogram(fake, audio_cfg)
-        real_mel = log_mel_spectrogram(batch["audio"], audio_cfg)
+        # impl="xla": gradients flow through the fake mel; the Pallas
+        # feature kernel (IRIS_MEL_IMPL=pallas) is forward-only.
+        fake_mel = log_mel_spectrogram(fake, audio_cfg, impl="xla")
+        real_mel = log_mel_spectrogram(batch["audio"], audio_cfg, impl="xla")
         mel_l1 = jnp.mean(jnp.abs(fake_mel - real_mel))
 
         total = adv + LAMBDA_FM * fm + LAMBDA_MEL * mel_l1

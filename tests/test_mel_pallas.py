@@ -35,7 +35,25 @@ def test_pallas_mel_short_audio(audio):
     np.testing.assert_allclose(got, want, atol=2e-3)
 
 
-def test_pallas_mel_rejects_batches(audio):
-    with pytest.raises(ValueError):
-        log_mel_spectrogram_pallas(jnp.zeros((2, 1000)), AudioConfig(),
-                                   interpret=True)
+def test_pallas_mel_batched(audio):
+    """[B, N] input vmaps through the kernel and matches the XLA path."""
+    cfg = AudioConfig()
+    batch = jnp.stack([jnp.asarray(audio[:8000]),
+                       jnp.asarray(audio[8000:16000])])
+    want = np.asarray(log_mel_spectrogram(batch, cfg))
+    got = np.asarray(log_mel_spectrogram_pallas(batch, cfg, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_log_mel_impl_routing(audio, monkeypatch):
+    """impl="pallas" / IRIS_MEL_IMPL=pallas route through the fused kernel
+    (interpret mode on CPU) and stay within tolerance of the XLA path."""
+    cfg = AudioConfig()
+    a = jnp.asarray(audio[:8000])
+    want = np.asarray(log_mel_spectrogram(a, cfg))
+    got = np.asarray(log_mel_spectrogram(a, cfg, impl="pallas"))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+    monkeypatch.setenv("IRIS_MEL_IMPL", "pallas")
+    got_env = np.asarray(log_mel_spectrogram(a, cfg))
+    np.testing.assert_allclose(got_env, want, atol=2e-3)

@@ -196,3 +196,27 @@ def test_vocab_size_auto_adjust():
     cfg = _small_config()
     pipe = TTSPipeline.initialize(cfg, vocab=vocab)
     assert pipe.config.encoder.vocab_size == len(vocab)
+
+
+def test_gaussian_upsample_option(pipeline):
+    """upsample="gaussian" routes through the soft regulator (ops/length.py
+    gaussian_upsample) and produces sane audio distinct from the hard path."""
+    hard = pipeline.synthesize("hello world", seed=3)
+    pipeline.upsample = "gaussian"
+    try:
+        soft = pipeline.synthesize("hello world", seed=3)
+    finally:
+        pipeline.upsample = "hard"
+    assert soft.ndim == 1 and len(soft) == len(hard)
+    assert np.isfinite(soft).all()
+    # Soft boundaries change the conditioning, so waveforms must differ...
+    assert not np.array_equal(soft, hard)
+    # ...but only near phoneme boundaries: the two mels stay close overall.
+    pipeline.upsample = "gaussian"
+    try:
+        mel_soft = pipeline.synthesize_mel("hello world", seed=3)
+    finally:
+        pipeline.upsample = "hard"
+    mel_hard = pipeline.synthesize_mel("hello world", seed=3)
+    n = min(len(mel_soft), len(mel_hard))
+    assert np.mean(np.abs(mel_soft[:n] - mel_hard[:n])) < 1.0

@@ -592,11 +592,91 @@ class TTSPipeline:
         audio_np = np.asarray(audio, np.float32)
         return audio_np[0] if squeeze else audio_np
 
+    def _chunk_long_text(self, text: str, max_phonemes: int) -> list:
+        """Sentence-pack ``text`` into chunks of <= ``max_phonemes`` ids.
+
+        Sentences are packed greedily; a single sentence that alone exceeds
+        the cap is split at word boundaries (each word's phoneme count
+        measured through the same frontend the synthesizer uses, so the
+        packing is exact, not estimated)."""
+
+        def n_ids(t: str) -> int:
+            return len(self.text_processor.text_to_ids(t, self.vocab))
+
+        pieces = []  # (text, id_count)
+        for sent in self.text_processor.split_sentences(text):
+            n = n_ids(sent)
+            if n <= max_phonemes:
+                pieces.append((sent, n))
+                continue
+            words = sent.split()
+            cur, cur_n = [], 0
+            for w in words:
+                wn = n_ids(w)
+                if cur and cur_n + wn > max_phonemes:
+                    pieces.append((" ".join(cur), cur_n))
+                    cur, cur_n = [], 0
+                cur.append(w)
+                cur_n += wn
+            if cur:
+                pieces.append((" ".join(cur), cur_n))
+
+        chunks, cur, cur_n = [], [], 0
+        for sent, n in pieces:
+            if cur and cur_n + n > max_phonemes:
+                chunks.append(" ".join(cur))
+                cur, cur_n = [], 0
+            cur.append(sent)
+            cur_n += n
+        if cur:
+            chunks.append(" ".join(cur))
+        return chunks
+
+    def synthesize_long(
+        self,
+        text: str,
+        seed: Optional[int] = None,
+        temperature: float = 1.0,
+        gap_ms: float = 120.0,
+        max_phonemes: Optional[int] = None,
+    ) -> np.ndarray:
+        """Long-form text → one waveform, without bucket truncation.
+
+        ``synthesize`` truncates input past the largest phoneme bucket
+        (with a warning); this splits the text at sentence boundaries
+        (word boundaries as a last resort), synthesizes the chunks as one
+        batch, and joins them with ``gap_ms`` of silence. New functionality
+        beyond the reference single-utterance entry point
+        (scripts/synthesize.py:64-220).
+        """
+        if max_phonemes is None:
+            max_phonemes = self.phoneme_buckets[-1]
+        chunks = self._chunk_long_text(text, max_phonemes)
+        if not chunks:
+            return np.zeros(0, np.float32)
+        if len(chunks) == 1:
+            return self.synthesize(
+                chunks[0], seed=seed, temperature=temperature
+            )
+        outs = self.synthesize(
+            chunks, seed=seed, temperature=temperature, fused=False
+        )
+        gap = np.zeros(
+            int(round(gap_ms / 1000.0 * self.config.audio.sample_rate)),
+            np.float32,
+        )
+        joined = []
+        for i, a in enumerate(outs):
+            if i:
+                joined.append(gap)
+            joined.append(a)
+        return np.concatenate(joined)
+
     def synthesize_to_file(
         self, text: str, path: str | Path, seed: Optional[int] = None
     ) -> np.ndarray:
         from iris_tts_tpu.data.audio_io import write_wav
 
-        audio = self.synthesize(text, seed=seed)
+        audio = self.synthesize_long(text, seed=seed)
         write_wav(path, audio, self.config.audio.sample_rate)
         return audio

@@ -29,6 +29,7 @@ from iris_tts_tpu.text.phonemes import PhonemeVocab
 logger = logging.getLogger(__name__)
 
 _WORD_CLEAN_RE = re.compile(r"[^\w']")
+_SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?;])\s+")
 _APOSTROPHE_RE = re.compile(r"'+")
 
 
@@ -91,6 +92,21 @@ class TextProcessor:
                 continue
             phonemes.extend(self.word_to_phonemes(word_clean))
         return separator.join(phonemes)
+
+    def split_sentences(self, text: str) -> List[str]:
+        """Normalize, then split into sentence segments on terminal
+        punctuation (. ! ? ;).
+
+        Normalization first means abbreviation periods ("Dr.", "St.") are
+        already expanded and never split on. New functionality beyond the
+        reference (whose entry point handles one utterance,
+        scripts/synthesize.py:64-220); used by
+        ``TTSPipeline.synthesize_long`` to keep long-form text inside the
+        phoneme bucket ladder instead of truncating.
+        """
+        norm = self.normalize_text(text)
+        parts = _SENTENCE_SPLIT_RE.split(norm)
+        return [p.strip() for p in parts if p.strip()]
 
     def text_to_sequence(
         self, text: str, phoneme_to_id: Optional[Dict[str, int]] = None

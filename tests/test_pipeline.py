@@ -220,3 +220,53 @@ def test_gaussian_upsample_option(pipeline):
     mel_hard = pipeline.synthesize_mel("hello world", seed=3)
     n = min(len(mel_soft), len(mel_hard))
     assert np.mean(np.abs(mel_soft[:n] - mel_hard[:n])) < 1.0
+
+
+def test_split_sentences():
+    tp = __import__("iris_tts_tpu.text", fromlist=["create_text_processor"])
+    proc = tp.create_text_processor()
+    parts = proc.split_sentences(
+        "Dr. Smith arrived. Was he late? No; never! Done."
+    )
+    # "Dr." expands during normalization, so it never splits a sentence.
+    assert len(parts) == 5, parts
+    assert parts[0].startswith("doctor smith")
+
+
+def test_synthesize_long_no_truncation(pipeline):
+    """Text past the largest phoneme bucket is chunked at sentence/word
+    boundaries and joined with silence gaps — not truncated."""
+    sent = "the quick brown fox jumps over the lazy dog."
+    long_text = " ".join([sent] * 8)  # far beyond the 32-phoneme bucket
+    audio = pipeline.synthesize_long(long_text, seed=1, gap_ms=50.0)
+    assert audio.ndim == 1 and np.isfinite(audio).all()
+
+    # Must be strictly longer than the truncated single-shot path.
+    truncated = pipeline.synthesize(long_text, seed=1)
+    assert len(audio) > len(truncated)
+
+    # Gap accounting: chunks + (n-1) gaps == total length.
+    chunks = pipeline._chunk_long_text(long_text, pipeline.phoneme_buckets[-1])
+    assert len(chunks) > 1
+    outs = pipeline.synthesize(chunks, seed=1, fused=False)
+    gap = int(round(0.050 * pipeline.config.audio.sample_rate))
+    assert len(audio) == sum(len(o) for o in outs) + gap * (len(chunks) - 1)
+
+
+def test_synthesize_long_word_fallback(pipeline):
+    """A single run-on sentence longer than the cap splits at words."""
+    text = " ".join(["hello"] * 30)  # no sentence punctuation, ~120 phonemes
+    chunks = pipeline._chunk_long_text(text, pipeline.phoneme_buckets[-1])
+    assert len(chunks) > 1
+    for c in chunks:
+        n = len(pipeline.text_processor.text_to_ids(c, pipeline.vocab))
+        assert n <= pipeline.phoneme_buckets[-1]
+    audio = pipeline.synthesize_long(text, seed=2)
+    assert np.isfinite(audio).all() and len(audio) > 0
+
+
+def test_synthesize_long_short_text_matches_synthesize(pipeline):
+    """Short text takes the plain single-utterance path unchanged."""
+    a = pipeline.synthesize_long("hello world", seed=7)
+    b = pipeline.synthesize("hello world", seed=7)
+    assert np.array_equal(a, b)

@@ -304,7 +304,12 @@ class TTSPipeline:
         save_config(self.config, path / "config.json")
         self.vocab.save(path / "vocab.json")
         (path / "meta.json").write_text(
-            json.dumps({"use_postnet": self.use_postnet, "seed": self.seed})
+            json.dumps({
+                "use_postnet": self.use_postnet,
+                "seed": self.seed,
+                "upsample": self.upsample,
+                "mrf_impl": self.mrf_impl,
+            })
         )
 
     @classmethod
@@ -332,6 +337,8 @@ class TTSPipeline:
             seed=meta.get("seed", 1337),
             dtype=dtype,
         )
+        pipe.upsample = meta.get("upsample", "hard")
+        pipe.mrf_impl = meta.get("mrf_impl", "xla")
         pipe.params = load_params(path / "params", template=pipe.params)
         return pipe
 
@@ -374,7 +381,12 @@ class TTSPipeline:
         )
         if use_postnet:
             mel = self._postnet.apply(params["postnet"], mel)
-        n_frames = jnp.sum(frame_mask, axis=1).astype(jnp.int32)
+        # Sum the mask in int32, NOT in its storage dtype: under the bf16
+        # serving default a bf16 sum rounds counts above 256 (e.g. 701
+        # frames sums to 700.0), trimming audio at the wrong sample.
+        n_frames = jnp.sum(
+            (frame_mask > 0).astype(jnp.int32), axis=1
+        )
         return mel, n_frames
 
     def _apply_hifigan(self, params, mel, mrf_impl="xla"):
@@ -609,15 +621,33 @@ class TTSPipeline:
             if n <= max_phonemes:
                 pieces.append((sent, n))
                 continue
-            words = sent.split()
+            def split_token(tok: str) -> list:
+                """Recursively halve a token until every part fits the cap
+                (pronunciation of the parts goes through G2P, so this is a
+                lossy last resort for pathological run-on tokens)."""
+                tn = n_ids(tok)
+                if tn <= max_phonemes or len(tok) <= 1:
+                    return [(tok, tn)]
+                half = len(tok) // 2
+                return split_token(tok[:half]) + split_token(tok[half:])
+
             cur, cur_n = [], 0
-            for w in words:
-                wn = n_ids(w)
-                if cur and cur_n + wn > max_phonemes:
-                    pieces.append((" ".join(cur), cur_n))
-                    cur, cur_n = [], 0
-                cur.append(w)
-                cur_n += wn
+            for w in sent.split():
+                parts = (
+                    [(w, n_ids(w))] if n_ids(w) <= max_phonemes
+                    else split_token(w)
+                )
+                if len(parts) > 1:
+                    logger.warning(
+                        "token %r alone exceeds max_phonemes=%d; splitting "
+                        "mid-word", w[:40], max_phonemes,
+                    )
+                for part, wn in parts:
+                    if cur and cur_n + wn > max_phonemes:
+                        pieces.append((" ".join(cur), cur_n))
+                        cur, cur_n = [], 0
+                    cur.append(part)
+                    cur_n += wn
             if cur:
                 pieces.append((" ".join(cur), cur_n))
 

@@ -11,7 +11,6 @@ Usage: PYTHONPATH=. python scripts/bench_mel.py [--seconds 10] [--batch 8]
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -23,25 +22,7 @@ import numpy as np
 from iris_tts_tpu.config import AudioConfig
 from iris_tts_tpu.ops.mel_pallas import log_mel_spectrogram_pallas
 from iris_tts_tpu.ops.stft import log_mel_spectrogram
-
-
-def _sync(out):
-    """Force execution AND completion: on the tunneled axon backend
-    block_until_ready returns before the computation finishes, so honest
-    timing must fetch (a scalar of) the result to the host."""
-    float(jnp.sum(out))
-
-
-def avg_ms(fn, args_cycle, n=30):
-    """Queue n calls over distinct inputs, then one host fetch — amortizes
-    the fixed ~27 ms tunnel round trip over all of them."""
-    _sync(fn(args_cycle[0]))  # compile + warm
-    t0 = time.perf_counter()
-    out = None
-    for i in range(n):
-        out = fn(args_cycle[i % len(args_cycle)])
-    _sync(out)
-    return 1000 * (time.perf_counter() - t0) / n
+from scripts.common import avg_ms
 
 
 def run_case(label, audio_arrays, cfg):

@@ -10,7 +10,6 @@ Usage: PYTHONPATH=. python scripts/bench_mrf.py [--seconds 10] [--dtype bf16]
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -22,26 +21,7 @@ import numpy as np
 from iris_tts_tpu.config import HiFiGANConfig
 from iris_tts_tpu.models.hifigan import ResBlock
 from iris_tts_tpu.ops.mrf_pallas import mrf_stage_pallas, stack_resblock_params
-
-
-def _sync(out):
-    """Force execution AND completion: on the tunneled axon backend
-    block_until_ready returns before the computation finishes, so honest
-    timing must fetch (a scalar of) the result to the host."""
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-
-
-def avg_ms(fn, args_cycle, n=30):
-    """Wall time per call: queue n calls (cycling distinct inputs so no
-    layer can dedupe), then one host fetch; the single ~27 ms tunnel round
-    trip is amortized over n."""
-    _sync(fn(*args_cycle[0]))  # compile + warm
-    t0 = time.perf_counter()
-    out = None
-    for i in range(n):
-        out = fn(*args_cycle[i % len(args_cycle)])
-    _sync(out)
-    return 1000 * (time.perf_counter() - t0) / n
+from scripts.common import avg_ms
 
 
 def main():

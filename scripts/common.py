@@ -68,3 +68,37 @@ def persist_config(cfg: IrisConfig, output_dir: str | Path, name: str) -> None:
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     save_config(cfg, out / name)
+
+
+# ---------------------------------------------------------------------------
+# Tunnel-aware device timing (shared by the bench/profiling scripts)
+# ---------------------------------------------------------------------------
+
+
+def sync(out) -> None:
+    """Force execution AND completion of a device computation.
+
+    On the tunneled axon backend ``block_until_ready`` returns before the
+    computation finishes, so honest timing must fetch (a scalar of) the
+    result to the host; the reduction keeps the transfer negligible.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+
+
+def avg_ms(fn, args_cycle, n: int = 30) -> float:
+    """Wall time per call: queue ``n`` calls (cycling distinct inputs so no
+    layer can dedupe), then one host fetch — the single ~27 ms tunnel round
+    trip is amortized over all of them."""
+    import time
+
+    args_cycle = [a if isinstance(a, tuple) else (a,) for a in args_cycle]
+    sync(fn(*args_cycle[0]))  # compile + warm
+    t0 = time.perf_counter()
+    out = None
+    for i in range(n):
+        out = fn(*args_cycle[i % len(args_cycle)])
+    sync(out)
+    return 1000 * (time.perf_counter() - t0) / n

@@ -11,7 +11,6 @@ Usage: python scripts/profile_vocoder.py [--seconds 10] [--dtype bf16|f32]
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -28,27 +27,14 @@ from iris_tts_tpu.models.hifigan import (
     TorchConvTranspose1d,
     leaky_relu,
 )
-
-
-def _sync(out):
-    """Force execution AND completion. On the tunneled axon backend
-    block_until_ready returns before the computation finishes, so honest
-    timing must fetch data to the host — a scalar reduction keeps the
-    transfer itself negligible."""
-    leaves = jax.tree_util.tree_leaves(out)
-    float(jnp.sum(leaves[0]))
+from scripts.common import avg_ms
 
 
 def median_ms(fn, *args, n=20):
-    """Per-call wall time: queue n calls then one host fetch, amortizing
-    the fixed ~27 ms tunnel round trip over all of them."""
-    _sync(fn(*args))  # compile + warm
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(n):
-        out = fn(*args)
-    _sync(out)
-    return 1000 * (time.perf_counter() - t0) / n
+    """Per-call wall time with a single repeated input (upstream layers on
+    some backends may dedupe identical queued dispatches — per-stage numbers
+    here are for comparing deltas, see module docstring)."""
+    return avg_ms(fn, [args], n=n)
 
 
 def main():

@@ -287,3 +287,34 @@ def test_import_cli_end_to_end(tmp_path):
     pipe = TTSPipeline.load(out)
     audio = pipe.synthesize("hello world", seed=0)
     assert audio.ndim == 1 and np.isfinite(audio).all()
+
+
+def test_keras_vocoder_parity_multi_resblock(tmp_path):
+    """Pins the /layers name-counter assumptions at a multi-stage,
+    multi-resblock topology (2 upsample stages x 2 MRF kernels x 2
+    dilations = the same counter structure as the production
+    (8,8,2,2)x(3,7,11) config)."""
+    from iris.vocoder import HiFiGANGenerator as RefVocoder
+
+    from iris_tts_tpu.models.hifigan import HiFiGANGenerator
+
+    kw = dict(in_channels=8, upsample_rates=(4, 2),
+              upsample_kernel_sizes=(8, 4), upsample_initial_channel=16,
+              resblock_kernel_sizes=(3, 5),
+              resblock_dilations=((1, 3), (1, 2)))
+    cfg = HiFiGANConfig(**kw)
+    ref = RefVocoder(**kw)
+    mel_tc = np.random.default_rng(5).standard_normal((2, 8, 8)).astype(
+        np.float32
+    )
+    want = np.asarray(ref(mel_tc)).reshape(2, -1)
+
+    params = convert_keras_vocoder(
+        _save(ref, tmp_path, "voc2"),
+        cfg.upsample_rates, cfg.resblock_kernel_sizes, cfg.resblock_dilations,
+    )
+    got = np.asarray(
+        HiFiGANGenerator(config=cfg).apply({"params": params},
+                                           jnp.asarray(mel_tc))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -270,3 +270,38 @@ def test_synthesize_long_short_text_matches_synthesize(pipeline):
     a = pipeline.synthesize_long("hello world", seed=7)
     b = pipeline.synthesize("hello world", seed=7)
     assert np.array_equal(a, b)
+
+
+def test_frame_count_sum_is_exact_in_bf16():
+    """Regression: n_frames must be summed in int32 — a bf16 sum of a
+    701-frame mask rounds to 700 (bf16 step is 4 in [512, 1024))."""
+    import jax.numpy as jnp
+
+    mask = jnp.ones((1, 701), jnp.bfloat16)
+    assert int(jnp.sum(mask, axis=1)[0]) == 700  # the failure mode
+    assert int(jnp.sum((mask > 0).astype(jnp.int32), axis=1)[0]) == 701
+
+
+def test_chunk_long_text_oversized_single_word(pipeline):
+    """A single token longer than the cap is mid-word split, never emitted
+    over budget (review finding: over-budget pieces reach truncation)."""
+    monster = "supercalifragilistic" * 6  # one token, far past 32 phonemes
+    cap = pipeline.phoneme_buckets[-1]
+    chunks = pipeline._chunk_long_text(monster, cap)
+    assert len(chunks) > 1
+    for c in chunks:
+        assert len(pipeline.text_processor.text_to_ids(c, pipeline.vocab)) <= cap
+
+
+def test_save_load_roundtrips_pipeline_options(pipeline, tmp_path):
+    """upsample / mrf_impl survive save() → load() like use_postnet does."""
+    from iris_tts_tpu.models import TTSPipeline
+
+    pipeline.upsample = "gaussian"
+    try:
+        pipeline.save(tmp_path / "exported")
+    finally:
+        pipeline.upsample = "hard"
+    loaded = TTSPipeline.load(tmp_path / "exported")
+    assert loaded.upsample == "gaussian"
+    assert loaded.mrf_impl == "xla"

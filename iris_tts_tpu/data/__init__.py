@@ -5,7 +5,8 @@ from iris_tts_tpu.data.audio_io import (
     read_wav,
     resample,
     to_mono,
+    wav_bytes,
     write_wav,
 )
 
-__all__ = ["load_audio", "read_wav", "resample", "to_mono", "write_wav"]
+__all__ = ["load_audio", "read_wav", "resample", "to_mono", "wav_bytes", "write_wav"]

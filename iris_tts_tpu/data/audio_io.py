@@ -87,13 +87,14 @@ def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
     return samples, sample_rate
 
 
-def write_wav(
-    path: str | Path,
+def wav_bytes(
     samples: np.ndarray,
     sample_rate: int,
     subtype: str = "pcm16",
-) -> None:
-    """Write float samples in [-1, 1] to a WAV file (pcm16 or float32)."""
+) -> bytes:
+    """Float samples in [-1, 1] → a complete RIFF/WAV byte string (pcm16 or
+    float32). The serving layer streams these over HTTP without touching
+    the filesystem; write_wav is the file-backed wrapper."""
     samples = np.asarray(samples)
     if samples.ndim == 1:
         channels = 1
@@ -126,7 +127,17 @@ def write_wav(
         + struct.pack("<I", len(raw))
         + raw
     )
-    Path(path).write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def write_wav(
+    path: str | Path,
+    samples: np.ndarray,
+    sample_rate: int,
+    subtype: str = "pcm16",
+) -> None:
+    """Write float samples in [-1, 1] to a WAV file (pcm16 or float32)."""
+    Path(path).write_bytes(wav_bytes(samples, sample_rate, subtype))
 
 
 def to_mono(samples: np.ndarray) -> np.ndarray:

@@ -1,0 +1,10 @@
+"""Production serving layer: dynamic batching + HTTP frontend.
+
+New functionality beyond the reference (whose only inference entry is the
+one-shot scripts/synthesize.py CLI, reference scripts/synthesize.py:64-220).
+"""
+
+from iris_tts_tpu.serve.batcher import BatchItem, DynamicBatcher
+from iris_tts_tpu.serve.server import TTSServer, serve_forever
+
+__all__ = ["BatchItem", "DynamicBatcher", "TTSServer", "serve_forever"]

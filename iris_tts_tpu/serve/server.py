@@ -1,0 +1,152 @@
+"""Stdlib HTTP frontend over the dynamic batcher.
+
+Endpoints:
+    POST /synthesize   {"text": "...", "temperature": 1.0, "seed": 0}
+                       → audio/wav bytes (22.05 kHz PCM16)
+    GET  /healthz      → {"ok": true}
+    GET  /stats        → batcher counters (requests, batches, histogram)
+
+ThreadingHTTPServer gives one thread per connection; all of them funnel
+into the single-device-thread :class:`DynamicBatcher`, so concurrency maps
+to batch size, not device contention. Stdlib-only by design (no extra
+serving deps in the image).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from iris_tts_tpu.serve.batcher import DynamicBatcher
+
+logger = logging.getLogger(__name__)
+
+_MAX_BODY = 1 << 20  # 1 MiB of JSON is far beyond any sane request
+
+
+def _wav_bytes(audio, sample_rate: int) -> bytes:
+    from iris_tts_tpu.data.audio_io import wav_bytes
+
+    return wav_bytes(audio, sample_rate)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "iris-tts-tpu"
+    batcher: DynamicBatcher = None  # set by TTSServer
+    sample_rate: int = 22050
+    request_timeout_s: float = 120.0
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        logger.debug("%s - %s", self.address_string(), fmt % args)
+
+    def _json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 — http.server contract
+        if self.path == "/healthz":
+            self._json(200, {"ok": True})
+        elif self.path == "/stats":
+            self._json(200, self.batcher.stats())
+        else:
+            self._json(404, {"error": "unknown path"})
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/synthesize":
+            self._json(404, {"error": "unknown path"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            if n > _MAX_BODY:
+                self._json(413, {"error": "request too large"})
+                return
+            req = json.loads(self.rfile.read(n) or b"{}")
+            text = req.get("text", "")
+            if not isinstance(text, str) or not text.strip():
+                self._json(400, {"error": "missing 'text'"})
+                return
+            audio = self.batcher.synthesize(
+                text,
+                timeout=self.request_timeout_s,
+                temperature=float(req.get("temperature", 1.0)),
+                seed=req.get("seed"),
+            )
+        except json.JSONDecodeError:
+            self._json(400, {"error": "invalid JSON"})
+            return
+        except Exception as e:  # noqa: BLE001 — 500 with the reason
+            logger.exception("synthesize failed")
+            self._json(500, {"error": str(e)})
+            return
+        wav = _wav_bytes(audio, self.sample_rate)
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Content-Length", str(len(wav)))
+        self.end_headers()
+        self.wfile.write(wav)
+
+
+class TTSServer:
+    """HTTP server + batcher lifecycle in one object.
+
+    Usage:
+        server = TTSServer(pipeline, port=8080).start()
+        ...
+        server.stop()
+    """
+
+    def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 8080,
+                 max_batch: int = 8, max_wait_ms: float = 5.0):
+        self.batcher = DynamicBatcher(
+            pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms
+        )
+        handler = type("BoundHandler", (_Handler,), {
+            "batcher": self.batcher,
+            "sample_rate": pipeline.config.audio.sample_rate,
+        })
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self._serve_thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self):
+        return self.httpd.server_address
+
+    def start(self) -> "TTSServer":
+        self.batcher.start()
+        self._serve_thread = threading.Thread(
+            target=self.httpd.serve_forever, name="tts-http", daemon=True
+        )
+        self._serve_thread.start()
+        logger.info("serving on %s:%d", *self.httpd.server_address[:2])
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._serve_thread is not None:
+            self._serve_thread.join(timeout=10)
+            self._serve_thread = None
+        self.batcher.stop()
+
+
+def serve_forever(pipeline, host: str = "0.0.0.0", port: int = 8080,
+                  max_batch: int = 8, max_wait_ms: float = 5.0) -> None:
+    """Blocking entry point for CLI use (scripts/serve.py)."""
+    server = TTSServer(pipeline, host=host, port=port, max_batch=max_batch,
+                       max_wait_ms=max_wait_ms)
+    server.batcher.start()
+    logger.info("serving on %s:%d", *server.httpd.server_address[:2])
+    try:
+        server.httpd.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+    finally:
+        server.httpd.server_close()
+        server.batcher.stop()

@@ -1,0 +1,132 @@
+"""Serving layer: dynamic batcher grouping + HTTP frontend (CPU)."""
+
+import http.client
+import io
+import json
+import threading
+import wave
+
+import numpy as np
+import pytest
+
+from iris_tts_tpu.serve import DynamicBatcher, TTSServer
+from tests.test_pipeline import _small_config
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    from iris_tts_tpu.models import TTSPipeline
+
+    pipe = TTSPipeline.initialize(_small_config())
+    pipe.phoneme_buckets = (16, 32)
+    pipe.frame_buckets = (32, 64, 128)
+    return pipe
+
+
+def test_batcher_single_request(pipeline):
+    with DynamicBatcher(pipeline, max_batch=4, max_wait_ms=1.0) as b:
+        audio = b.synthesize("hello world", timeout=120)
+    assert audio.ndim == 1 and np.isfinite(audio).all()
+    assert b.stats()["requests"] == 1
+
+
+def test_batcher_groups_concurrent_requests(pipeline):
+    """Concurrent submissions ride one (or few) batched dispatches."""
+    b = DynamicBatcher(pipeline, max_batch=8, max_wait_ms=200.0)
+    # Warm the jit cache first so grouping isn't skewed by compile time.
+    with b:
+        b.synthesize("warm up", timeout=300)
+        futs = [b.submit(f"utterance number {i}") for i in range(6)]
+        outs = [f.result(timeout=300) for f in futs]
+    assert all(np.isfinite(o).all() for o in outs)
+    stats = b.stats()
+    assert stats["requests"] == 7
+    # The 6 concurrent requests must have shared dispatches (mean > 1).
+    assert stats["batches"] < 7, stats
+    assert max(stats["batch_size_hist"]) > 1, stats
+
+
+def test_batcher_shutdown_rejects_new_work(pipeline):
+    b = DynamicBatcher(pipeline).start()
+    b.stop()
+    with pytest.raises(RuntimeError):
+        b.submit("too late")
+
+
+def test_batcher_error_propagates(pipeline):
+    """A failing dispatch resolves every waiter with the exception, and the
+    batcher keeps serving afterwards."""
+    with DynamicBatcher(pipeline, max_wait_ms=1.0) as b:
+        with pytest.raises(Exception):
+            # temperature must be a float; a string breaks inside dispatch
+            b.submit("boom", temperature="not-a-number").result(timeout=120)
+        audio = b.synthesize("still alive", timeout=120)
+    assert np.isfinite(audio).all()
+
+
+@pytest.fixture(scope="module")
+def server(pipeline):
+    srv = TTSServer(pipeline, host="127.0.0.1", port=0, max_wait_ms=1.0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _request(server, method, path, body=None):
+    host, port = server.address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=300)
+    try:
+        conn.request(
+            method, path,
+            body=json.dumps(body) if body is not None else None,
+            headers={"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        return resp.status, resp.getheader("Content-Type"), resp.read()
+    finally:
+        conn.close()
+
+
+def test_http_healthz(server):
+    status, ctype, body = _request(server, "GET", "/healthz")
+    assert status == 200 and json.loads(body) == {"ok": True}
+
+
+def test_http_synthesize_returns_wav(server, pipeline):
+    status, ctype, body = _request(
+        server, "POST", "/synthesize", {"text": "hello server", "seed": 3}
+    )
+    assert status == 200 and ctype == "audio/wav"
+    with wave.open(io.BytesIO(body)) as w:
+        assert w.getframerate() == pipeline.config.audio.sample_rate
+        assert w.getnchannels() == 1
+        assert w.getnframes() > 0
+
+
+def test_http_bad_requests(server):
+    status, _, body = _request(server, "POST", "/synthesize", {"text": ""})
+    assert status == 400
+    status, _, _ = _request(server, "POST", "/nope", {"text": "x"})
+    assert status == 404
+    status, _, _ = _request(server, "GET", "/nope")
+    assert status == 404
+
+
+def test_http_concurrent_clients_batch(server):
+    results = [None] * 5
+
+    def hit(i):
+        results[i] = _request(
+            server, "POST", "/synthesize", {"text": f"client {i} speaking"}
+        )
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert all(r is not None and r[0] == 200 for r in results)
+    status, _, body = _request(server, "GET", "/stats")
+    assert status == 200
+    stats = json.loads(body)
+    assert stats["requests"] >= 5

@@ -10,6 +10,8 @@ resume. Host work per step is limited to the batcher's numpy collation.
 from __future__ import annotations
 
 import logging
+import signal
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional
@@ -57,10 +59,49 @@ class TrainLoop:
     start_epoch: int = 0
     uses_frozen_in_eval: bool = True
 
+    # Preemption safety (new beyond the reference, whose resume loses
+    # optimizer/RNG state — SURVEY.md §5): SIGTERM/SIGINT set a flag that
+    # the step loop polls; the loop then writes a full-state checkpoint and
+    # returns cleanly, so a preempted TPU job resumes bit-exactly (the
+    # interrupted epoch re-runs from its start).
+    handle_signals: bool = True
+
     history: list = field(default_factory=list)
+    preempted: bool = field(default=False, init=False)
 
     def run(self) -> TrainState:
         state = self.state
+        stop = threading.Event()
+        old_handlers = {}
+        if self.handle_signals and (
+            threading.current_thread() is threading.main_thread()
+        ):
+            def _on_signal(signum, frame):
+                logger.warning(
+                    "received %s — will checkpoint and stop",
+                    signal.Signals(signum).name,
+                )
+                stop.set()
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+        try:
+            return self._run(state, stop)
+        finally:
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
+
+    def _preempt_save(self, state: TrainState) -> None:
+        self.preempted = True
+        if self.checkpoints is not None:
+            self.checkpoints.save(int(state.step), state, val_metric=None)
+            logger.info(
+                "preemption checkpoint written at step %d (epoch counter "
+                "%d — the interrupted epoch re-runs on resume)",
+                int(state.step), int(state.epoch),
+            )
+
+    def _run(self, state: TrainState, stop: threading.Event) -> TrainState:
         for epoch in range(self.start_epoch, self.num_epochs):
             extras = self.epoch_extras(epoch) if self.epoch_extras else ()
             extras = tuple(jnp.asarray(e) for e in extras)
@@ -68,6 +109,9 @@ class TrainLoop:
             n_steps = 0
             sums = None  # device-side metric accumulation: no per-step sync
             for batch in self.batcher.epoch(epoch):
+                if stop.is_set():
+                    self._preempt_save(state)
+                    return state
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 state, m = self.train_step(state, batch, *extras)
                 n_steps += 1
@@ -146,6 +190,9 @@ class TrainLoop:
                         logger.info(
                             "new best %s=%.5f", val_key, val_metric
                         )
+            if stop.is_set():
+                self._preempt_save(state)
+                return state
         return state
 
 

@@ -171,3 +171,51 @@ def test_kl_schedule_reference_shape():
     assert abs(kl_weight_schedule(10) - 0.0055) < 1e-9
     assert abs(kl_weight_schedule(20) - 0.01) < 1e-9
     assert abs(kl_weight_schedule(99) - 0.01) < 1e-9
+
+
+def test_preemption_checkpoints_and_resumes(rng, tmp_path):
+    """SIGTERM mid-epoch → TrainLoop writes a full-state checkpoint and
+    returns cleanly; resume_if_available restores it (new capability —
+    the reference's resume loses optimizer/RNG state, SURVEY.md §5)."""
+    import os
+    import signal
+
+    from iris_tts_tpu.train import TrainLoop
+    from iris_tts_tpu.train.checkpoint import CheckpointManager
+    from iris_tts_tpu.train.loop import resume_if_available
+
+    state = _init_duration_state(jax.random.PRNGKey(0))
+    step = jax.jit(make_duration_train_step(CFG))
+
+    class SignalingBatcher:
+        """Sends SIGTERM to our own process after 2 batches of epoch 0."""
+
+        def epoch(self, i):
+            for n in range(50):
+                if i == 0 and n == 2:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield _duration_batch(rng)
+
+    ckpt = CheckpointManager(tmp_path / "ckpt", CFG)
+    loop = TrainLoop(
+        state=state,
+        train_step=step,
+        batcher=SignalingBatcher(),
+        num_epochs=10,
+        checkpoints=ckpt,
+        checkpoint_every=1000,  # only the preemption path may save
+    )
+    out_state = loop.run()
+    assert loop.preempted
+    saved_step = int(out_state.step)
+    assert 2 <= saved_step < 50  # stopped mid-epoch, not at the end
+    assert ckpt.latest_step() == saved_step
+
+    restored, start_epoch = resume_if_available(
+        CheckpointManager(tmp_path / "ckpt", CFG), state
+    )
+    assert int(restored.step) == saved_step
+    assert start_epoch == 0  # interrupted epoch re-runs
+
+    # The loop restored its default signal disposition.
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL

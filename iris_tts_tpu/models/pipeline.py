@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import json
 import logging
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Dict, Optional, Sequence, Tuple, Union
 
@@ -98,6 +98,12 @@ class TTSPipeline:
     # 0.63-0.98x of XLA (scripts/bench_mrf.py) — XLA already fuses this
     # chain well — so "pallas" is an opt-in for re-evaluation, not a win.
     mrf_impl: str = "xla"
+    # Optional data-parallel serving mesh (set via use_mesh(); None =
+    # single-device). When set, every synthesis entry point pads the batch
+    # to the data-axis multiple and shards the batch dim — GSPMD propagates
+    # the sharding through both jitted stages.
+    _mesh: Any = field(default=None, init=False, repr=False)
+    _mesh_cfg: Any = field(default=None, init=False, repr=False)
 
     def __post_init__(self):
         cfg = self.config
@@ -480,12 +486,56 @@ class TTSPipeline:
             row[: len(seq)] = seq[:p_bucket]
         return ids, lengths
 
+    def use_mesh(self, mesh=None, cfg=None) -> "TTSPipeline":
+        """Enable data-parallel serving over a ``jax.sharding.Mesh``.
+
+        Replicates params across the mesh and shards each request batch's
+        leading dim over the ``data`` axis (batch padded to the axis size
+        with duplicate rows; the duplicates are dropped from the outputs).
+        One chip and N chips run the same code path with identical results
+        (tested on a virtual CPU mesh). New capability beyond the
+        single-device reference (SURVEY.md §2.4).
+        """
+        from iris_tts_tpu.config import MeshConfig
+        from iris_tts_tpu.parallel.mesh import build_mesh, replicate_params
+
+        cfg = cfg or MeshConfig()
+        mesh = mesh if mesh is not None else build_mesh(cfg)
+        self._mesh, self._mesh_cfg = mesh, cfg
+        if len(mesh.devices.flat) > 1:
+            self.params = replicate_params(self.params, mesh)
+        return self
+
+    def _device_batch(self, ids_np: np.ndarray, lengths_np: np.ndarray):
+        """Host batch → device arrays (+ true row count). On a mesh the
+        batch pads to a data-axis multiple and shards over ``data``."""
+        b = ids_np.shape[0]
+        if self._mesh is None or len(self._mesh.devices.flat) == 1:
+            return jnp.asarray(ids_np), jnp.asarray(lengths_np), b
+        from iris_tts_tpu.parallel.mesh import shard_batch
+
+        dp = self._mesh.shape[self._mesh_cfg.data_axis]
+        pad = (-b) % dp
+        if pad:
+            ids_np = np.concatenate(
+                [ids_np, np.repeat(ids_np[-1:], pad, axis=0)]
+            )
+            lengths_np = np.concatenate(
+                [lengths_np, np.repeat(lengths_np[-1:], pad)]
+            )
+        ids, lengths = shard_batch(
+            (jnp.asarray(ids_np), jnp.asarray(lengths_np)),
+            self._mesh, self._mesh_cfg,
+        )
+        return ids, lengths, b
+
     def _run_stage_a(self, texts: Sequence[str]):
         """Host frontend + stage A + frame-bucket choice (shared by the
         synthesize/synthesize_mel paths)."""
         ids_np, lengths = self._encode_texts(texts)
+        ids_dev, lengths_dev, n_rows = self._device_batch(ids_np, lengths)
         enc, frames, total_arr = self._stage_a(
-            self.params, jnp.asarray(ids_np), jnp.asarray(lengths)
+            self.params, ids_dev, lengths_dev
         )
         total = int(total_arr)
         factor = self.config.vae.down_factor
@@ -499,7 +549,7 @@ class TTSPipeline:
                 "the audio tail will be truncated — raise "
                 "pipeline.frame_buckets or split the text", total, t_bucket,
             )
-        return enc, frames, t_bucket
+        return enc, frames, t_bucket, n_rows
 
     def _fused_frame_budget(self, lengths: np.ndarray) -> int:
         """Host-side frame-budget estimate for the fused path (static per
@@ -539,14 +589,15 @@ class TTSPipeline:
         if fused:
             ids_np, lengths = self._encode_texts(texts)
             t_bucket = self._fused_frame_budget(lengths)
+            ids_dev, lengths_dev, _ = self._device_batch(ids_np, lengths)
             audio, mel, n_frames_arr = self._fused(
-                self.params, jnp.asarray(ids_np), jnp.asarray(lengths),
+                self.params, ids_dev, lengths_dev,
                 self._next_seed(seed), total_frames=t_bucket,
                 temperature=temperature, use_postnet=self.use_postnet,
                 upsample=self.upsample, mrf_impl=self.mrf_impl,
             )
         else:
-            enc, frames, t_bucket = self._run_stage_a(texts)
+            enc, frames, t_bucket, _ = self._run_stage_a(texts)
             audio, mel, n_frames_arr = self._stage_b(
                 self.params, enc, frames, self._next_seed(seed),
                 total_frames=t_bucket, temperature=temperature,
@@ -565,9 +616,15 @@ class TTSPipeline:
             audio_np, n_frames = jax.device_get((audio, n_frames_arr))
         n_frames = n_frames.astype(np.int64)
         audio_np = np.asarray(audio_np, np.float32)
-        outs = [a[: int(n) * hop] for a, n in zip(audio_np, n_frames)]
+        # [:len(texts)] drops mesh pad-duplicate rows (no-op off-mesh).
+        outs = [
+            a[: int(n) * hop]
+            for a, n in zip(audio_np[: len(texts)], n_frames)
+        ]
         if return_mel:
-            mels = [m[: int(n)] for m, n in zip(mel_np, n_frames)]
+            mels = [
+                m[: int(n)] for m, n in zip(mel_np[: len(texts)], n_frames)
+            ]
             return (outs[0], mels[0]) if single else (outs, mels)
         return outs[0] if single else outs
 
@@ -580,7 +637,7 @@ class TTSPipeline:
         """Text → log-mel [T, n_mels] (acoustic model only)."""
         single = isinstance(text, str)
         texts = [text] if single else list(text)
-        enc, frames, t_bucket = self._run_stage_a(texts)
+        enc, frames, t_bucket, _ = self._run_stage_a(texts)
         mel, n_frames_arr = self._stage_b_mel(
             self.params, enc, frames, self._next_seed(seed),
             total_frames=t_bucket, temperature=temperature,
@@ -588,7 +645,9 @@ class TTSPipeline:
         )
         mel_np, n_frames = jax.device_get((mel, n_frames_arr))
         n_frames = n_frames.astype(np.int64)
-        outs = [m[: int(n)] for m, n in zip(mel_np, n_frames)]
+        outs = [
+            m[: int(n)] for m, n in zip(mel_np[: len(texts)], n_frames)
+        ]
         return outs[0] if single else outs
 
     def vocode(self, mel) -> np.ndarray:

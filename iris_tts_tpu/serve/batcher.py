@@ -19,6 +19,7 @@ reference scripts/synthesize.py:64-220).
 
 from __future__ import annotations
 
+import collections
 import logging
 import queue
 import threading
@@ -54,10 +55,11 @@ class DynamicBatcher:
     """
 
     def __init__(self, pipeline, max_batch: int = 8,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, gap_ms: float = 120.0):
         self._pipe = pipeline
         self._max_batch = max_batch
         self._max_wait_s = max_wait_ms / 1000.0
+        self._gap_ms = gap_ms
         self._queue: "queue.Queue[Optional[BatchItem]]" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
         self._stopping = threading.Event()
@@ -65,6 +67,7 @@ class DynamicBatcher:
         self.n_requests = 0
         self.n_batches = 0
         self.batch_size_hist: Dict[int, int] = {}
+        self._latencies = collections.deque(maxlen=1024)  # seconds
 
     # -- frontend side ------------------------------------------------------
 
@@ -164,11 +167,22 @@ class DynamicBatcher:
                 self._dispatch(group, temp)
 
     def _dispatch(self, group: List[BatchItem], temperature: float) -> None:
-        texts = [it.text for it in group]
+        # Long inputs chunk at sentence boundaries (same policy as
+        # TTSPipeline.synthesize_long) and the chunks of EVERY request in
+        # the group ride one batched dispatch; each request's chunks are
+        # re-joined with the silence gap afterwards. Short requests pass
+        # through 1:1.
+        cap = self._pipe.phoneme_buckets[-1]
+        flat: List[str] = []
+        per_item_chunks: List[int] = []
+        for it in group:
+            chunks = self._pipe._chunk_long_text(it.text, cap) or [""]
+            per_item_chunks.append(len(chunks))
+            flat.extend(chunks)
         seed = next((it.seed for it in group if it.seed is not None), None)
         try:
             outs = self._pipe.synthesize(
-                texts, temperature=temperature, seed=seed, fused=False
+                flat, temperature=temperature, seed=seed, fused=False
             )
         except Exception as e:  # noqa: BLE001 — deliver to every waiter
             for it in group:
@@ -177,15 +191,39 @@ class DynamicBatcher:
             return
         self.n_requests += len(group)
         self.n_batches += 1
-        self.batch_size_hist[len(group)] = (
-            self.batch_size_hist.get(len(group), 0) + 1
+        self.batch_size_hist[len(flat)] = (
+            self.batch_size_hist.get(len(flat), 0) + 1
         )
-        for it, audio in zip(group, outs):
-            it.future.set_result(audio)
+        gap = np.zeros(
+            int(round(self._gap_ms / 1000.0
+                      * self._pipe.config.audio.sample_rate)),
+            np.float32,
+        )
+        now = time.monotonic()
+        pos = 0
+        for gi, it in enumerate(group):
+            n = per_item_chunks[gi]
+            parts = outs[pos:pos + n]
+            pos += n
+            joined = (
+                parts[0] if n == 1
+                else np.concatenate(
+                    [p for pair in zip(parts, [gap] * n) for p in pair][:-1]
+                )
+            )
+            self._latencies.append(now - it.enqueued_at)
+            it.future.set_result(joined)
 
     # -- observability ------------------------------------------------------
 
     def stats(self) -> Dict:
+        lats = sorted(self._latencies)
+        def pct(p):
+            return (
+                round(1000 * lats[min(len(lats) - 1,
+                                      int(p * len(lats)))], 2)
+                if lats else None
+            )
         return {
             "requests": self.n_requests,
             "batches": self.n_batches,
@@ -193,4 +231,6 @@ class DynamicBatcher:
                 self.n_requests / self.n_batches if self.n_batches else 0.0
             ),
             "batch_size_hist": dict(sorted(self.batch_size_hist.items())),
+            "latency_ms": {"p50": pct(0.50), "p95": pct(0.95),
+                           "max": pct(1.0)},
         }

@@ -39,6 +39,9 @@ def main() -> None:
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--max_batch", type=int, default=8)
     parser.add_argument("--max_wait_ms", type=float, default=5.0)
+    parser.add_argument("--mesh", action="store_true",
+                        help="shard request batches data-parallel over all "
+                        "visible devices (TTSPipeline.use_mesh)")
     args = parser.parse_args()
     setup_logging()
 
@@ -48,6 +51,9 @@ def main() -> None:
         pipe = TTSPipeline.initialize(resolve_config(args))
     else:
         parser.error("need --pipeline DIR or --random_weights")
+
+    if args.mesh:
+        pipe.use_mesh()
 
     # Compile the common buckets before accepting traffic so first requests
     # don't pay the trace+compile latency.

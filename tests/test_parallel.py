@@ -97,3 +97,28 @@ def test_replicate_params(devices):
     rep = replicate_params(params, mesh)
     assert rep["a"].sharding.spec == PartitionSpec()
     assert len(rep["a"].sharding.device_set) == 8
+
+
+def test_pipeline_use_mesh_end_to_end_equality(devices):
+    """TTSPipeline.use_mesh: the full public synthesize() path on an
+    8-virtual-device data mesh returns the SAME audio as single-device
+    (params replicated, batch dim sharded, pad rows dropped)."""
+    from tests.test_pipeline import _small_config
+    from iris_tts_tpu.models import TTSPipeline
+
+    pipe = TTSPipeline.initialize(_small_config(), seed=0)
+    pipe.phoneme_buckets = (16, 32)
+    pipe.frame_buckets = (32, 64, 128)
+    texts = [f"hello number {i}" for i in range(5)]  # 5 rows: forces padding
+    want = pipe.synthesize(texts, seed=11, fused=False)
+
+    mesh = build_mesh(MeshConfig(data_parallel=8, model_parallel=1), devices)
+    pipe.use_mesh(mesh)
+    got = pipe.synthesize(texts, seed=11, fused=False)
+    assert len(got) == len(want) == 5
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+    # single utterance (fused path) also runs on the mesh
+    one = pipe.synthesize("just one utterance", seed=4)
+    assert one.ndim == 1 and np.isfinite(one).all()

@@ -130,3 +130,36 @@ def test_http_concurrent_clients_batch(server):
     assert status == 200
     stats = json.loads(body)
     assert stats["requests"] >= 5
+
+
+def test_batcher_long_text_chunks_and_rejoins(pipeline):
+    """Text past the phoneme cap is chunked inside the batch and re-joined
+    with silence gaps — HTTP/serving never silently truncates."""
+    sent = "the quick brown fox jumps over the lazy dog."
+    long_text = " ".join([sent] * 8)  # far past the 32-phoneme test bucket
+    with DynamicBatcher(pipeline, max_wait_ms=1.0, gap_ms=50.0) as b:
+        audio = b.synthesize(long_text, timeout=300)
+        short = b.synthesize(sent, timeout=300)
+    # The long request must yield several chunks' worth of audio.
+    assert len(audio) > 2 * len(short)
+    n_chunks = len(pipeline._chunk_long_text(
+        long_text, pipeline.phoneme_buckets[-1]
+    ))
+    assert n_chunks > 1
+    # gap accounting: n_chunks chunks + (n-1) gaps of 50 ms
+    gap = int(round(0.050 * pipeline.config.audio.sample_rate))
+    outs = pipeline.synthesize(
+        pipeline._chunk_long_text(long_text, pipeline.phoneme_buckets[-1]),
+        seed=None, fused=False,
+    )
+    # lengths (not exact values — seeds differ) must match the join layout
+    assert len(audio) == sum(len(o) for o in outs) + gap * (n_chunks - 1)
+
+
+def test_stats_latency_percentiles(pipeline):
+    with DynamicBatcher(pipeline, max_wait_ms=1.0) as b:
+        b.synthesize("measure me", timeout=300)
+        stats = b.stats()
+    lat = stats["latency_ms"]
+    assert lat["p50"] is not None and lat["p50"] > 0
+    assert lat["max"] >= lat["p50"]

@@ -750,6 +750,15 @@ class TTSPipeline:
         outs = self.synthesize(
             chunks, seed=seed, temperature=temperature, fused=False
         )
+        return self.join_chunks(outs, gap_ms=gap_ms)
+
+    def join_chunks(self, outs: Sequence[np.ndarray],
+                    gap_ms: float = 120.0) -> np.ndarray:
+        """Concatenate chunk waveforms with ``gap_ms`` of silence between
+        them — the single source of the long-form join policy (shared by
+        :meth:`synthesize_long` and the serving batcher)."""
+        if len(outs) == 1:
+            return outs[0]
         gap = np.zeros(
             int(round(gap_ms / 1000.0 * self.config.audio.sample_rate)),
             np.float32,

@@ -3,8 +3,8 @@
 TPU throughput comes from batched dispatch (one executable over [B, ...]),
 but serving traffic arrives one utterance at a time. The batcher bridges
 the two: requests queue from any number of frontend threads, a single
-device thread drains the queue, groups compatible requests, and runs ONE
-jitted dispatch per group on the pipeline's bucketed executables
+device thread drains the queue, groups compatible requests, and runs
+bucketed batched dispatches on the pipeline's jitted executables
 (models/pipeline.py). A single device thread also respects the one-process
 / one-stream TPU model — no lock contention on the device.
 
@@ -12,6 +12,14 @@ Batching policy: take whatever is queued (up to ``max_batch``); if the
 queue is empty and a request just arrived, wait up to ``max_wait_ms`` for
 company before dispatching. Under load the wait never triggers (the queue
 is always non-empty), so latency cost is bounded by one batch's compute.
+Long inputs chunk at sentence boundaries (TTSPipeline._chunk_long_text)
+and re-join with silence gaps; device work is sliced to at most
+``max_batch`` rows per dispatch and each slice pads up to a power-of-two
+batch bucket so the jit cache stays tiny.
+
+Seeded requests dispatch ALONE (never co-batched): a request's waveform
+must be reproducible from (text, seed) and therefore cannot depend on
+whatever traffic happened to share its batch.
 
 New functionality beyond the reference (single-utterance CLI only,
 reference scripts/synthesize.py:64-220).
@@ -24,13 +32,21 @@ import logging
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+def _fail(fut: "Future", exc: BaseException) -> None:
+    """set_exception tolerant of already-resolved futures (shutdown races)."""
+    try:
+        fut.set_exception(exc)
+    except InvalidStateError:
+        pass
 
 
 @dataclass
@@ -42,6 +58,8 @@ class BatchItem:
     temperature: float = 1.0
     seed: Optional[int] = None
     enqueued_at: float = field(default_factory=time.monotonic)
+    # sentence chunks, precomputed on the frontend thread at submit()
+    chunks: Optional[List[str]] = None
 
 
 class DynamicBatcher:
@@ -49,35 +67,75 @@ class DynamicBatcher:
 
     Args:
         pipeline: a ready :class:`iris_tts_tpu.models.pipeline.TTSPipeline`.
-        max_batch: largest group per dispatch (pad-to-bucket makes larger
-            groups cheaper per utterance up to memory limits).
+        max_batch: most rows per device dispatch (requests expand into
+            chunks; slices never exceed this).
         max_wait_ms: how long a lone request waits for company.
+        gap_ms: silence between a long request's re-joined chunks.
+        max_chunks_per_request: admission cap — a request that would expand
+            past this many chunks is rejected at submit() (bounds worst-case
+            device occupancy per request; ~45 s of text per chunk at the
+            512-phoneme bucket).
+
+    A stopped batcher cannot restart (create a new one): restart-after-stop
+    would race the drain logic for queued futures.
     """
 
     def __init__(self, pipeline, max_batch: int = 8,
-                 max_wait_ms: float = 5.0, gap_ms: float = 120.0):
+                 max_wait_ms: float = 5.0, gap_ms: float = 120.0,
+                 max_chunks_per_request: int = 64):
         self._pipe = pipeline
-        self._max_batch = max_batch
+        self._max_batch = max(1, max_batch)
         self._max_wait_s = max_wait_ms / 1000.0
         self._gap_ms = gap_ms
+        self._max_chunks = max_chunks_per_request
         self._queue: "queue.Queue[Optional[BatchItem]]" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
+        self._started = False
         self._stopping = threading.Event()
-        # stats (read without lock: single writer, monotonic counters)
+        # batch buckets: powers of two up to max_batch (jit cache stays
+        # small; the pipeline pads rows, outputs trim back)
+        self._batch_buckets = []
+        b = 1
+        while b < self._max_batch:
+            self._batch_buckets.append(b)
+            b *= 2
+        self._batch_buckets.append(self._max_batch)
+        # stats (mutated by the device thread; _lat_lock guards the deque
+        # against concurrent /stats readers)
         self.n_requests = 0
         self.n_batches = 0
         self.batch_size_hist: Dict[int, int] = {}
+        self._lat_lock = threading.Lock()
         self._latencies = collections.deque(maxlen=1024)  # seconds
 
     # -- frontend side ------------------------------------------------------
 
     def submit(self, text: str, temperature: float = 1.0,
                seed: Optional[int] = None) -> "Future[np.ndarray]":
-        """Queue one utterance; resolves to a 1-D float32 waveform."""
+        """Queue one utterance; resolves to a 1-D float32 waveform.
+
+        Raises in the caller (not the device thread) on bad arguments or
+        over-limit text, so poison requests can never kill the server.
+        """
         if self._stopping.is_set():
             raise RuntimeError("batcher is stopped")
+        temperature = float(temperature)
+        if seed is not None:
+            seed = int(seed)
+        chunks = self._pipe._chunk_long_text(
+            str(text), self._pipe.phoneme_buckets[-1]
+        ) or [""]
+        if len(chunks) > self._max_chunks:
+            raise ValueError(
+                f"text expands to {len(chunks)} chunks, over the "
+                f"max_chunks_per_request={self._max_chunks} admission limit"
+            )
         fut: "Future[np.ndarray]" = Future()
-        self._queue.put(BatchItem(text, fut, temperature, seed))
+        item = BatchItem(str(text), fut, temperature, seed, chunks=chunks)
+        self._queue.put(item)
+        if self._stopping.is_set():
+            # stop() may already have drained the queue past our put.
+            _fail(fut, RuntimeError("server shutdown"))
         return fut
 
     def synthesize(self, text: str, timeout: Optional[float] = 60.0,
@@ -86,11 +144,33 @@ class DynamicBatcher:
         """Blocking convenience wrapper around :meth:`submit`."""
         return self.submit(text, temperature, seed).result(timeout=timeout)
 
+    def warmup(self) -> None:
+        """Pre-compile every batch bucket (stage A + B at the smallest
+        phoneme/frame buckets) so live traffic never waits on a
+        first-compile — on tunneled TPU backends the FIRST compile of a
+        process can take minutes, far past any sane request timeout."""
+        for b in self._batch_buckets:
+            self._pipe.synthesize(
+                ["warm up the jit cache."] * b, fused=False, seed=0
+            )
+
+    def healthy(self) -> bool:
+        """True while the device thread is alive and accepting work."""
+        return (
+            self._thread is not None
+            and self._thread.is_alive()
+            and not self._stopping.is_set()
+        )
+
     # -- lifecycle ----------------------------------------------------------
 
     def start(self) -> "DynamicBatcher":
-        if self._thread is not None:
-            raise RuntimeError("batcher already started")
+        if self._started:
+            raise RuntimeError(
+                "batcher already started (stopped batchers cannot restart "
+                "— create a new DynamicBatcher)"
+            )
+        self._started = True
         self._thread = threading.Thread(
             target=self._run, name="tts-batcher", daemon=True
         )
@@ -104,7 +184,6 @@ class DynamicBatcher:
         self._stopping.set()
         self._queue.put(None)  # wake the device thread
         self._thread.join(timeout=timeout)
-        self._thread = None
         # Fail anything still queued after the drain window.
         while True:
             try:
@@ -112,7 +191,7 @@ class DynamicBatcher:
             except queue.Empty:
                 break
             if item is not None:
-                item.future.set_exception(RuntimeError("server shutdown"))
+                _fail(item.future, RuntimeError("server shutdown"))
 
     def __enter__(self) -> "DynamicBatcher":
         return self.start()
@@ -140,10 +219,10 @@ class DynamicBatcher:
         deadline = time.monotonic() + self._max_wait_s
         while len(items) < self._max_batch:
             remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                nxt = self._queue.get(
-                    timeout=max(remaining, 0.0) if remaining > 0 else None
-                ) if remaining > 0 else self._queue.get_nowait()
+                nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:
@@ -157,67 +236,79 @@ class DynamicBatcher:
             items = self._collect()
             if not items:
                 continue
-            # Same-temperature groups share one dispatch (temperature is a
-            # traced scalar but batching mixes it per-row only if the model
-            # supported per-row temps; it doesn't, so group by value).
+            # Seeded requests dispatch alone (reproducibility contract);
+            # unseeded ones group by temperature (a traced scalar shared by
+            # the whole batch).
+            groups: List[List[BatchItem]] = []
             by_temp: Dict[float, List[BatchItem]] = {}
             for it in items:
-                by_temp.setdefault(it.temperature, []).append(it)
-            for temp, group in by_temp.items():
-                self._dispatch(group, temp)
+                if it.seed is not None:
+                    groups.append([it])
+                else:
+                    by_temp.setdefault(it.temperature, []).append(it)
+            groups.extend(by_temp.values())
+            for group in groups:
+                # A failure anywhere must fail that group's futures, never
+                # the device thread — a dead thread would hang the server.
+                try:
+                    self._dispatch(group)
+                except Exception as e:  # noqa: BLE001
+                    for it in group:
+                        _fail(it.future, e)
+                    logger.exception("dispatch of %d failed", len(group))
 
-    def _dispatch(self, group: List[BatchItem], temperature: float) -> None:
-        # Long inputs chunk at sentence boundaries (same policy as
-        # TTSPipeline.synthesize_long) and the chunks of EVERY request in
-        # the group ride one batched dispatch; each request's chunks are
-        # re-joined with the silence gap afterwards. Short requests pass
-        # through 1:1.
-        cap = self._pipe.phoneme_buckets[-1]
+    def _pad_to_bucket(self, flat: List[str]) -> List[str]:
+        for b in self._batch_buckets:
+            if len(flat) <= b:
+                return flat + [flat[-1]] * (b - len(flat))
+        return flat
+
+    def _dispatch(self, group: List[BatchItem]) -> None:
         flat: List[str] = []
         per_item_chunks: List[int] = []
         for it in group:
-            chunks = self._pipe._chunk_long_text(it.text, cap) or [""]
+            chunks = it.chunks or [it.text]
             per_item_chunks.append(len(chunks))
             flat.extend(chunks)
-        seed = next((it.seed for it in group if it.seed is not None), None)
-        try:
-            outs = self._pipe.synthesize(
-                flat, temperature=temperature, seed=seed, fused=False
+        # Bounded device work: at most max_batch rows per dispatch, each
+        # slice padded to a power-of-two batch bucket (duplicate rows are
+        # synthesized and dropped — cheaper than a fresh XLA compile per
+        # distinct batch size).
+        outs: List[np.ndarray] = []
+        for lo in range(0, len(flat), self._max_batch):
+            part = flat[lo:lo + self._max_batch]
+            padded = self._pad_to_bucket(part)
+            res = self._pipe.synthesize(
+                padded, temperature=group[0].temperature,
+                seed=group[0].seed, fused=False,
             )
-        except Exception as e:  # noqa: BLE001 — deliver to every waiter
-            for it in group:
-                it.future.set_exception(e)
-            logger.exception("batch of %d failed", len(group))
-            return
+            outs.extend(res[: len(part)])
+            self.n_batches += 1
+            self.batch_size_hist[len(padded)] = (
+                self.batch_size_hist.get(len(padded), 0) + 1
+            )
         self.n_requests += len(group)
-        self.n_batches += 1
-        self.batch_size_hist[len(flat)] = (
-            self.batch_size_hist.get(len(flat), 0) + 1
-        )
-        gap = np.zeros(
-            int(round(self._gap_ms / 1000.0
-                      * self._pipe.config.audio.sample_rate)),
-            np.float32,
-        )
         now = time.monotonic()
         pos = 0
         for gi, it in enumerate(group):
             n = per_item_chunks[gi]
-            parts = outs[pos:pos + n]
-            pos += n
-            joined = (
-                parts[0] if n == 1
-                else np.concatenate(
-                    [p for pair in zip(parts, [gap] * n) for p in pair][:-1]
-                )
+            joined = self._pipe.join_chunks(
+                outs[pos:pos + n], gap_ms=self._gap_ms
             )
-            self._latencies.append(now - it.enqueued_at)
-            it.future.set_result(joined)
+            pos += n
+            with self._lat_lock:
+                self._latencies.append(now - it.enqueued_at)
+            try:
+                it.future.set_result(joined)
+            except InvalidStateError:
+                pass  # failed at shutdown after we computed it; drop
 
     # -- observability ------------------------------------------------------
 
     def stats(self) -> Dict:
-        lats = sorted(self._latencies)
+        with self._lat_lock:
+            lats = sorted(self._latencies)
+
         def pct(p):
             return (
                 round(1000 * lats[min(len(lats) - 1,
@@ -233,4 +324,5 @@ class DynamicBatcher:
             "batch_size_hist": dict(sorted(self.batch_size_hist.items())),
             "latency_ms": {"p50": pct(0.50), "p95": pct(0.95),
                            "max": pct(1.0)},
+            "healthy": self.healthy(),
         }

@@ -37,7 +37,7 @@ class _Handler(BaseHTTPRequestHandler):
     server_version = "iris-tts-tpu"
     batcher: DynamicBatcher = None  # set by TTSServer
     sample_rate: int = 22050
-    request_timeout_s: float = 120.0
+    request_timeout_s: float = 600.0
 
     def log_message(self, fmt, *args):  # route through logging, not stderr
         logger.debug("%s - %s", self.address_string(), fmt % args)
@@ -52,7 +52,10 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802 — http.server contract
         if self.path == "/healthz":
-            self._json(200, {"ok": True})
+            # Liveness includes the device thread: a dead batcher would
+            # otherwise accept connections and hang every request.
+            ok = self.batcher.healthy()
+            self._json(200 if ok else 503, {"ok": ok})
         elif self.path == "/stats":
             self._json(200, self.batcher.stats())
         else:
@@ -103,13 +106,17 @@ class TTSServer:
     """
 
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 8080,
-                 max_batch: int = 8, max_wait_ms: float = 5.0):
+                 max_batch: int = 8, max_wait_ms: float = 5.0,
+                 request_timeout_s: float = 600.0):
         self.batcher = DynamicBatcher(
             pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms
         )
         handler = type("BoundHandler", (_Handler,), {
             "batcher": self.batcher,
             "sample_rate": pipeline.config.audio.sample_rate,
+            # Generous default: a cold TPU process's first compile can take
+            # minutes; warmed servers answer in milliseconds.
+            "request_timeout_s": request_timeout_s,
         })
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self._serve_thread: Optional[threading.Thread] = None
@@ -137,10 +144,12 @@ class TTSServer:
 
 
 def serve_forever(pipeline, host: str = "0.0.0.0", port: int = 8080,
-                  max_batch: int = 8, max_wait_ms: float = 5.0) -> None:
+                  max_batch: int = 8, max_wait_ms: float = 5.0,
+                  request_timeout_s: float = 600.0) -> None:
     """Blocking entry point for CLI use (scripts/serve.py)."""
     server = TTSServer(pipeline, host=host, port=port, max_batch=max_batch,
-                       max_wait_ms=max_wait_ms)
+                       max_wait_ms=max_wait_ms,
+                       request_timeout_s=request_timeout_s)
     server.batcher.start()
     logger.info("serving on %s:%d", *server.httpd.server_address[:2])
     try:

@@ -62,8 +62,10 @@ class TrainLoop:
     # Preemption safety (new beyond the reference, whose resume loses
     # optimizer/RNG state — SURVEY.md §5): SIGTERM/SIGINT set a flag that
     # the step loop polls; the loop then writes a full-state checkpoint and
-    # returns cleanly, so a preempted TPU job resumes bit-exactly (the
-    # interrupted epoch re-runs from its start).
+    # returns cleanly. Resume granularity is the epoch: the interrupted
+    # epoch re-runs from its start, so its already-applied batches are seen
+    # twice (optimizer/RNG state themselves restore exactly; only the data
+    # order replays).
     handle_signals: bool = True
 
     history: list = field(default_factory=list)
@@ -93,13 +95,24 @@ class TrainLoop:
 
     def _preempt_save(self, state: TrainState) -> None:
         self.preempted = True
-        if self.checkpoints is not None:
-            self.checkpoints.save(int(state.step), state, val_metric=None)
-            logger.info(
-                "preemption checkpoint written at step %d (epoch counter "
-                "%d — the interrupted epoch re-runs on resume)",
-                int(state.step), int(state.epoch),
-            )
+        if self.checkpoints is None:
+            return
+        step = int(state.step)
+        if self.checkpoints.latest_step() == step:
+            # The periodic/best block (or a resume) already saved this exact
+            # step; a second save would raise StepAlreadyExistsError.
+            logger.info("step %d already checkpointed; clean stop", step)
+            return
+        try:
+            self.checkpoints.save(step, state, val_metric=None)
+        except Exception:  # noqa: BLE001 — a failed save must not mask exit
+            logger.exception("preemption checkpoint failed at step %d", step)
+            return
+        logger.info(
+            "preemption checkpoint written at step %d (epoch counter "
+            "%d — the interrupted epoch re-runs on resume)",
+            step, int(state.epoch),
+        )
 
     def _run(self, state: TrainState, stop: threading.Event) -> TrainState:
         for epoch in range(self.start_epoch, self.num_epochs):

@@ -39,6 +39,7 @@ def main() -> None:
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--max_batch", type=int, default=8)
     parser.add_argument("--max_wait_ms", type=float, default=5.0)
+    parser.add_argument("--request_timeout_s", type=float, default=600.0)
     parser.add_argument("--mesh", action="store_true",
                         help="shard request batches data-parallel over all "
                         "visible devices (TTSPipeline.use_mesh)")
@@ -55,12 +56,20 @@ def main() -> None:
     if args.mesh:
         pipe.use_mesh()
 
-    # Compile the common buckets before accepting traffic so first requests
-    # don't pay the trace+compile latency.
-    logger.info("warmup compile...")
-    pipe.synthesize(["warm up the jit cache."], fused=False)
+    # Compile EVERY batch bucket before accepting traffic: on tunneled
+    # backends the first compile of a process can take minutes, so live
+    # requests must never be the ones paying it.
+    logger.info("warmup compile (all batch buckets)...")
+    b = 1
+    while b < args.max_batch:
+        pipe.synthesize(["warm up the jit cache."] * b, fused=False, seed=0)
+        b *= 2
+    pipe.synthesize(["warm up the jit cache."] * args.max_batch,
+                    fused=False, seed=0)
+    logger.info("warmup done")
     serve_forever(pipe, host=args.host, port=args.port,
-                  max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+                  max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+                  request_timeout_s=args.request_timeout_s)
 
 
 if __name__ == "__main__":

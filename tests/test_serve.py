@@ -163,3 +163,65 @@ def test_stats_latency_percentiles(pipeline):
     lat = stats["latency_ms"]
     assert lat["p50"] is not None and lat["p50"] > 0
     assert lat["max"] >= lat["p50"]
+
+
+def test_submit_rejects_oversized_request(pipeline):
+    with DynamicBatcher(pipeline, max_chunks_per_request=2,
+                        max_wait_ms=1.0) as b:
+        sent = "the quick brown fox jumps over the lazy dog. "
+        with pytest.raises(ValueError, match="admission limit"):
+            b.submit(sent * 20)  # expands far past 2 chunks
+        # the device thread is untouched and keeps serving
+        assert np.isfinite(b.synthesize("fine", timeout=300)).all()
+
+
+def test_bad_arguments_fail_in_caller_not_device_thread(pipeline):
+    with DynamicBatcher(pipeline, max_wait_ms=1.0) as b:
+        with pytest.raises((TypeError, ValueError)):
+            b.submit("boom", temperature=[1.0])  # unhashable/uncastable
+        assert b.healthy()
+        assert np.isfinite(b.synthesize("alive", timeout=300)).all()
+
+
+def test_batch_sizes_are_bucketed(pipeline):
+    """Dispatch slices pad to power-of-two buckets (bounded jit cache)."""
+    b = DynamicBatcher(pipeline, max_batch=8, max_wait_ms=200.0)
+    with b:
+        b.synthesize("warm", timeout=300)
+        futs = [b.submit(f"number {i}") for i in range(3)]
+        [f.result(timeout=300) for f in futs]
+    for size in b.stats()["batch_size_hist"]:
+        assert size in (1, 2, 4, 8), b.stats()
+
+
+def test_seeded_requests_dispatch_alone(pipeline):
+    """Seed reproducibility: the same (text, seed) yields the same audio
+    regardless of co-batched traffic."""
+    with DynamicBatcher(pipeline, max_wait_ms=200.0) as b:
+        b.synthesize("warm", timeout=300)
+        quiet = b.synthesize("repeat me", seed=42, timeout=300)
+        futs = [b.submit(f"noise {i}") for i in range(4)]
+        busy_fut = b.submit("repeat me", seed=42)
+        [f.result(timeout=300) for f in futs]
+        busy = busy_fut.result(timeout=300)
+    np.testing.assert_array_equal(quiet, busy)
+
+
+def test_restart_after_stop_refused(pipeline):
+    b = DynamicBatcher(pipeline).start()
+    b.stop()
+    with pytest.raises(RuntimeError, match="cannot restart"):
+        b.start()
+
+
+def test_healthz_unhealthy_after_stop(pipeline):
+    srv = TTSServer(pipeline, host="127.0.0.1", port=0, max_wait_ms=1.0)
+    srv.start()
+    try:
+        assert _request(srv, "GET", "/healthz")[0] == 200
+        srv.batcher.stop()
+        status, _, body = _request(srv, "GET", "/healthz")
+        assert status == 503 and json.loads(body) == {"ok": False}
+    finally:
+        srv.httpd.shutdown()
+        srv.httpd.server_close()

@@ -144,6 +144,19 @@ class DynamicBatcher:
         """Blocking convenience wrapper around :meth:`submit`."""
         return self.submit(text, temperature, seed).result(timeout=timeout)
 
+    def chunk_text(self, text: str) -> List[str]:
+        """The batcher's sentence-chunking, exposed for streaming callers
+        (same admission cap as submit())."""
+        chunks = self._pipe._chunk_long_text(
+            str(text), self._pipe.phoneme_buckets[-1]
+        ) or [""]
+        if len(chunks) > self._max_chunks:
+            raise ValueError(
+                f"text expands to {len(chunks)} chunks, over the "
+                f"max_chunks_per_request={self._max_chunks} admission limit"
+            )
+        return chunks
+
     def warmup(self) -> None:
         """Pre-compile every batch bucket (stage A + B at the smallest
         phoneme/frame buckets) so live traffic never waits on a

@@ -1,10 +1,13 @@
 """Stdlib HTTP frontend over the dynamic batcher.
 
 Endpoints:
-    POST /synthesize   {"text": "...", "temperature": 1.0, "seed": 0}
-                       → audio/wav bytes (22.05 kHz PCM16)
-    GET  /healthz      → {"ok": true}
-    GET  /stats        → batcher counters (requests, batches, histogram)
+    POST /synthesize        {"text": "...", "temperature": 1.0, "seed": 0}
+                            → audio/wav bytes (22.05 kHz PCM16)
+    POST /synthesize_stream same body → chunked-transfer raw PCM16LE:
+                            sentence chunks stream as they synthesize, so
+                            time-to-first-audio is one chunk's latency
+    GET  /healthz           → {"ok": true} (503 if the device thread died)
+    GET  /stats             → batcher counters + latency percentiles
 
 ThreadingHTTPServer gives one thread per connection; all of them funnel
 into the single-device-thread :class:`DynamicBatcher`, so concurrency maps
@@ -31,6 +34,13 @@ def _wav_bytes(audio, sample_rate: int) -> bytes:
     from iris_tts_tpu.data.audio_io import wav_bytes
 
     return wav_bytes(audio, sample_rate)
+
+
+def _pcm16le(audio) -> bytes:
+    import numpy as np
+
+    clipped = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+    return (clipped * 32767.0).astype("<i2").tobytes()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -61,7 +71,81 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": "unknown path"})
 
+    def _stream_synthesize(self, req) -> None:
+        """POST /synthesize_stream: chunked-transfer PCM16LE.
+
+        Sentence chunks are submitted to the batcher as independent
+        requests and streamed (with the silence gaps) as each resolves —
+        time-to-first-audio is one chunk's latency instead of the whole
+        text's, and concurrent streams still share batched dispatches.
+        """
+        import numpy as np
+
+        text = req.get("text", "")
+        if not isinstance(text, str) or not text.strip():
+            self._json(400, {"error": "missing 'text'"})
+            return
+        try:
+            chunks = self.batcher.chunk_text(text)
+            temperature = float(req.get("temperature", 1.0))
+            seed = req.get("seed")
+            # The FIRST chunk goes in alone so time-to-first-audio is one
+            # small dispatch; the rest are submitted once it resolves and
+            # batch together while the head of the stream plays out.
+            first = self.batcher.submit(
+                chunks[0], temperature=temperature, seed=seed
+            )
+        except Exception as e:  # noqa: BLE001
+            self._json(400, {"error": str(e)})
+            return
+
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         f"audio/L16; rate={self.sample_rate}; channels=1")
+        self.send_header("X-Audio-Format",
+                         f"pcm16le; rate={self.sample_rate}")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def write_chunk(data: bytes) -> None:
+            self.wfile.write(f"{len(data):x}\r\n".encode())
+            self.wfile.write(data)
+            self.wfile.write(b"\r\n")
+
+        gap = np.zeros(
+            int(round(self.batcher._gap_ms / 1000.0 * self.sample_rate)),
+            np.float32,
+        )
+        try:
+            audio = first.result(timeout=self.request_timeout_s)
+            write_chunk(_pcm16le(audio))
+            futs = [
+                self.batcher.submit(c, temperature=temperature, seed=seed)
+                for c in chunks[1:]
+            ]
+            for f in futs:
+                audio = f.result(timeout=self.request_timeout_s)
+                write_chunk(_pcm16le(gap))
+                write_chunk(_pcm16le(audio))
+            self.wfile.write(b"0\r\n\r\n")
+        except Exception:  # noqa: BLE001 — mid-stream failure: cut the
+            # connection (the truncated chunked body tells the client)
+            logger.exception("stream aborted")
+            self.close_connection = True
+
     def do_POST(self):  # noqa: N802
+        if self.path == "/synthesize_stream":
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                if n > _MAX_BODY:
+                    self._json(413, {"error": "request too large"})
+                    return
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                self._json(400, {"error": "invalid JSON"})
+                return
+            self._stream_synthesize(req)
+            return
         if self.path != "/synthesize":
             self._json(404, {"error": "unknown path"})
             return

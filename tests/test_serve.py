@@ -225,3 +225,51 @@ def test_healthz_unhealthy_after_stop(pipeline):
     finally:
         srv.httpd.shutdown()
         srv.httpd.server_close()
+
+
+def _read_chunked(resp):
+    """Decode a chunked-transfer body manually, returning the chunks."""
+    chunks = []
+    while True:
+        size = int(resp.fp.readline().strip(), 16)
+        if size == 0:
+            resp.fp.readline()
+            break
+        chunks.append(resp.fp.read(size))
+        resp.fp.readline()
+    return chunks
+
+
+def test_http_streaming_synthesis(server, pipeline):
+    """POST /synthesize_stream: PCM16LE arrives chunk by chunk; total
+    layout matches the batch endpoint's chunk+gap join."""
+    sent = "the quick brown fox jumps over the lazy dog."
+    long_text = " ".join([sent] * 8)
+    host, port = server.address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=300)
+    conn.request("POST", "/synthesize_stream",
+                 body=json.dumps({"text": long_text}),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("X-Audio-Format").startswith("pcm16le")
+    chunks = _read_chunked(resp)
+    conn.close()
+
+    n_text_chunks = len(pipeline._chunk_long_text(
+        long_text, pipeline.phoneme_buckets[-1]
+    ))
+    # audio chunks interleaved with (n-1) gap chunks
+    assert len(chunks) == 2 * n_text_chunks - 1
+    gap_samples = int(round(0.120 * pipeline.config.audio.sample_rate))
+    for i, c in enumerate(chunks):
+        assert len(c) % 2 == 0
+        if i % 2 == 1:  # gap chunk: pure silence of the documented length
+            pcm = np.frombuffer(c, "<i2")
+            assert len(pcm) == gap_samples and not pcm.any()
+
+
+def test_http_streaming_bad_request(server):
+    status, _, body = _request(server, "POST", "/synthesize_stream",
+                               {"text": ""})
+    assert status == 400

@@ -111,25 +111,22 @@ class DynamicBatcher:
     # -- frontend side ------------------------------------------------------
 
     def submit(self, text: str, temperature: float = 1.0,
-               seed: Optional[int] = None) -> "Future[np.ndarray]":
+               seed: Optional[int] = None,
+               chunks: Optional[List[str]] = None) -> "Future[np.ndarray]":
         """Queue one utterance; resolves to a 1-D float32 waveform.
 
         Raises in the caller (not the device thread) on bad arguments or
         over-limit text, so poison requests can never kill the server.
+        ``chunks`` lets a streaming caller pass already-computed sentence
+        chunks so the frontend G2P does not run twice.
         """
         if self._stopping.is_set():
             raise RuntimeError("batcher is stopped")
         temperature = float(temperature)
         if seed is not None:
             seed = int(seed)
-        chunks = self._pipe._chunk_long_text(
-            str(text), self._pipe.phoneme_buckets[-1]
-        ) or [""]
-        if len(chunks) > self._max_chunks:
-            raise ValueError(
-                f"text expands to {len(chunks)} chunks, over the "
-                f"max_chunks_per_request={self._max_chunks} admission limit"
-            )
+        if chunks is None:
+            chunks = self.chunk_text(text)
         fut: "Future[np.ndarray]" = Future()
         item = BatchItem(str(text), fut, temperature, seed, chunks=chunks)
         self._queue.put(item)

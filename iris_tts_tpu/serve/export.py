@@ -45,7 +45,13 @@ def export_pipeline(
         pipe: a ready TTSPipeline (params are baked into the artifacts).
         batch_sizes / phoneme_buckets: the shape grid to export (each pair
             becomes one self-contained executable; the frame budget is the
-            pipeline's fused estimate for that bucket).
+            pipeline's fused estimate for the FULL bucket — ≥ the live
+            path's length-based estimate. Because jax's counter-based PRNG
+            makes prefix noise shape-stable, trimmed outputs still match
+            the live path exactly whenever the predicted frames fit the
+            live budget; when they don't, the live path compresses
+            durations earlier and the artifact — with more headroom —
+            simply truncates less).
         platforms: lowering platforms (default: current backend). Pass
             ``["tpu"]`` on a CPU host to cross-lower for TPU serving.
     Returns:

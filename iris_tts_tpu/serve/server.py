@@ -45,12 +45,33 @@ def _pcm16le(audio) -> bytes:
 
 class _Handler(BaseHTTPRequestHandler):
     server_version = "iris-tts-tpu"
+    # HTTP/1.1 is REQUIRED for Transfer-Encoding: chunked — under the
+    # stdlib default (HTTP/1.0) clients would read the hex framing lines
+    # as PCM samples. Every non-streaming response carries Content-Length,
+    # satisfying 1.1 keep-alive.
+    protocol_version = "HTTP/1.1"
     batcher: DynamicBatcher = None  # set by TTSServer
     sample_rate: int = 22050
     request_timeout_s: float = 600.0
 
     def log_message(self, fmt, *args):  # route through logging, not stderr
         logger.debug("%s - %s", self.address_string(), fmt % args)
+
+    def _read_json_body(self):
+        """Parse the request body; returns dict or None (response sent)."""
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            self._json(400, {"error": "bad Content-Length"})
+            return None
+        if n > _MAX_BODY:
+            self._json(413, {"error": "request too large"})
+            return None
+        try:
+            return json.loads(self.rfile.read(n) or b"{}")
+        except (json.JSONDecodeError, OSError):
+            self._json(400, {"error": "invalid JSON"})
+            return None
 
     def _json(self, code: int, obj) -> None:
         body = json.dumps(obj).encode()
@@ -89,25 +110,41 @@ class _Handler(BaseHTTPRequestHandler):
             chunks = self.batcher.chunk_text(text)
             temperature = float(req.get("temperature", 1.0))
             seed = req.get("seed")
+            # Per-chunk derived seeds: a seeded stream is reproducible in
+            # (text, seed) and each chunk gets distinct noise. (The batch
+            # endpoint synthesizes a long text's chunks as rows of ONE
+            # dispatch, so the two endpoints are each deterministic but
+            # not sample-identical to each other.)
+            def chunk_seed(i):
+                return None if seed is None else int(seed) + i
+
             # The FIRST chunk goes in alone so time-to-first-audio is one
             # small dispatch; the rest are submitted once it resolves and
             # batch together while the head of the stream plays out.
             first = self.batcher.submit(
-                chunks[0], temperature=temperature, seed=seed
+                chunks[0], temperature=temperature, seed=chunk_seed(0),
+                chunks=[chunks[0]],
             )
-        except Exception as e:  # noqa: BLE001
+        except (TypeError, ValueError) as e:
             self._json(400, {"error": str(e)})
+            return
+        except Exception as e:  # noqa: BLE001 — server-side fault
+            self._json(503 if "stopped" in str(e) else 500,
+                       {"error": str(e)})
             return
 
         self.send_response(200)
-        self.send_header("Content-Type",
-                         f"audio/L16; rate={self.sample_rate}; channels=1")
+        # audio/L16 would imply BIG-endian (RFC 3555); the body is
+        # little-endian PCM, so advertise it honestly.
+        self.send_header("Content-Type", "application/octet-stream")
         self.send_header("X-Audio-Format",
-                         f"pcm16le; rate={self.sample_rate}")
+                         f"pcm16le; rate={self.sample_rate}; channels=1")
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
 
         def write_chunk(data: bytes) -> None:
+            if not data:
+                return  # a zero-length chunk IS the stream terminator
             self.wfile.write(f"{len(data):x}\r\n".encode())
             self.wfile.write(data)
             self.wfile.write(b"\r\n")
@@ -120,8 +157,9 @@ class _Handler(BaseHTTPRequestHandler):
             audio = first.result(timeout=self.request_timeout_s)
             write_chunk(_pcm16le(audio))
             futs = [
-                self.batcher.submit(c, temperature=temperature, seed=seed)
-                for c in chunks[1:]
+                self.batcher.submit(c, temperature=temperature,
+                                    seed=chunk_seed(i + 1), chunks=[c])
+                for i, c in enumerate(chunks[1:])
             ]
             for f in futs:
                 audio = f.result(timeout=self.request_timeout_s)
@@ -134,27 +172,16 @@ class _Handler(BaseHTTPRequestHandler):
             self.close_connection = True
 
     def do_POST(self):  # noqa: N802
+        req = self._read_json_body()
+        if req is None:
+            return
         if self.path == "/synthesize_stream":
-            try:
-                n = int(self.headers.get("Content-Length", "0"))
-                if n > _MAX_BODY:
-                    self._json(413, {"error": "request too large"})
-                    return
-                req = json.loads(self.rfile.read(n) or b"{}")
-            except json.JSONDecodeError:
-                self._json(400, {"error": "invalid JSON"})
-                return
             self._stream_synthesize(req)
             return
         if self.path != "/synthesize":
             self._json(404, {"error": "unknown path"})
             return
         try:
-            n = int(self.headers.get("Content-Length", "0"))
-            if n > _MAX_BODY:
-                self._json(413, {"error": "request too large"})
-                return
-            req = json.loads(self.rfile.read(n) or b"{}")
             text = req.get("text", "")
             if not isinstance(text, str) or not text.strip():
                 self._json(400, {"error": "missing 'text'"})
@@ -165,12 +192,13 @@ class _Handler(BaseHTTPRequestHandler):
                 temperature=float(req.get("temperature", 1.0)),
                 seed=req.get("seed"),
             )
-        except json.JSONDecodeError:
-            self._json(400, {"error": "invalid JSON"})
+        except (TypeError, ValueError) as e:  # client fault
+            self._json(400, {"error": str(e)})
             return
-        except Exception as e:  # noqa: BLE001 — 500 with the reason
+        except Exception as e:  # noqa: BLE001 — server fault
             logger.exception("synthesize failed")
-            self._json(500, {"error": str(e)})
+            self._json(503 if "stopped" in str(e) else 500,
+                       {"error": str(e)})
             return
         wav = _wav_bytes(audio, self.sample_rate)
         self.send_response(200)

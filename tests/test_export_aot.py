@@ -39,7 +39,11 @@ def test_export_writes_artifacts(artifact_dir):
 
 def test_exported_matches_pipeline(pipeline, artifact_dir):
     """The deserialized executable reproduces the live fused path exactly
-    (same params, same bucket, same seed)."""
+    (same params, same seed). The artifact bakes the BUCKET's frame budget
+    (here 256) while the live path picks the length-based one (128) — the
+    outputs still match because jax's counter-based PRNG makes prefix
+    noise shape-stable, so the trimmed real frames are identical whenever
+    no duration compression triggers (see serve/export.py docstring)."""
     synth = ExportedSynthesizer(artifact_dir,
                                 text_processor=pipeline.text_processor)
     got = synth.synthesize("hello world", seed=5)

@@ -273,3 +273,30 @@ def test_http_streaming_bad_request(server):
     status, _, body = _request(server, "POST", "/synthesize_stream",
                                {"text": ""})
     assert status == 400
+
+
+def test_http_streaming_standard_client_dechunks(server, pipeline):
+    """Regression (review finding): the server must speak HTTP/1.1 so a
+    STANDARD client's read() de-chunks — under HTTP/1.0 the hex framing
+    lines would corrupt the PCM."""
+    host, port = server.address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=300)
+    conn.request("POST", "/synthesize_stream",
+                 body=json.dumps({"text": "hello there. nice day."}),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.version == 11
+    body = resp.read()  # http.client de-chunks transparently
+    conn.close()
+    assert len(body) % 2 == 0 and len(body) > 0
+    pcm = np.frombuffer(body, "<i2").astype(np.float32) / 32767.0
+    assert np.isfinite(pcm).all() and np.abs(pcm).max() <= 1.0
+    # sanity: matches the non-streamed duration within the gap allowance
+    wav_status, _, wav_body = _request(
+        server, "POST", "/synthesize", {"text": "hello there. nice day."}
+    )
+    assert wav_status == 200
+    with wave.open(io.BytesIO(wav_body)) as w:
+        base = w.getnframes()
+    gap = int(round(0.120 * pipeline.config.audio.sample_rate))
+    assert abs(len(pcm) - base) <= gap * 4

@@ -45,6 +45,10 @@ def __getattr__(name):
         from iris_tts_tpu.convert import hifigan_torch
 
         return getattr(hifigan_torch, name)
+    if name in ("TTSServer", "DynamicBatcher", "serve_forever"):
+        from iris_tts_tpu import serve
+
+        return getattr(serve, name)
     raise AttributeError(f"module 'iris_tts_tpu' has no attribute {name!r}")
 
 __all__ = [

@@ -13,6 +13,7 @@ from iris_tts_tpu.train.steps import (
     make_duration_train_step,
     make_postnet_train_step,
     make_vae_eval_step,
+    make_vae_recon_step,
     make_vae_train_step,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "make_duration_train_step",
     "make_postnet_train_step",
     "make_vae_eval_step",
+    "make_vae_recon_step",
     "make_vae_train_step",
 ]

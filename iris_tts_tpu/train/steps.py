@@ -163,6 +163,22 @@ def make_vae_train_step(cfg: IrisConfig) -> StepFn:
     return step
 
 
+def make_vae_recon_step(cfg: IrisConfig):
+    """Deterministic VAE reconstruction (posterior mean) for quality
+    evaluation: (params, frozen, batch) → (recon [B,T,n_mels], frame_mask).
+    Feeds host-side MCD/LSD scoring (utils.metrics.quality_report) in
+    scripts/validate_vae_checkpoint.py."""
+    encoder = PhonemeEncoder(config=cfg.encoder)
+    vae = TextConditionedVAE(config=cfg.vae)
+
+    def step(params, frozen, batch: Batch):
+        cond, frame_mask = _frame_condition(encoder, frozen, batch)
+        recon, _, _ = vae.apply({"params": params}, batch["mel"], cond)
+        return recon, frame_mask
+
+    return step
+
+
 def make_vae_eval_step(cfg: IrisConfig):
     encoder = PhonemeEncoder(config=cfg.encoder)
     vae = TextConditionedVAE(config=cfg.vae)

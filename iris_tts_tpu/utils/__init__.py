@@ -4,6 +4,9 @@ from iris_tts_tpu.utils.metrics import (
     MetricsWriter,
     RunningMean,
     SynthesisMeter,
+    log_spectral_distance,
+    mel_cepstral_distortion,
+    quality_report,
 )
 from iris_tts_tpu.utils.prof import (
     StepTimer,
@@ -20,6 +23,9 @@ __all__ = [
     "SynthesisMeter",
     "StepTimer",
     "grad_norm",
+    "log_spectral_distance",
+    "mel_cepstral_distortion",
+    "quality_report",
     "guard_finite",
     "profile_stats",
     "trace",

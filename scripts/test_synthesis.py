@@ -90,6 +90,18 @@ def main() -> None:
     logger.info("GT-duration mel MSE=%.4f MAE=%.4f "
                 "(rubric: MSE>5 bad, >1 could be better)", mse, mae)
 
+    # Objective quality: MCD + log-spectral distance (dB). Frames already
+    # correspond (ground-truth durations), so trim alignment is exact.
+    # Beyond the reference's eyeball rubric (test_trained_encoder.py:243-263).
+    from iris_tts_tpu.utils import quality_report
+
+    q = quality_report(mel_gen, mel_gt, align="trim")
+    logger.info(
+        "quality: MCD=%.2f dB  LSD=%.2f dB  mel L1=%.3f "
+        "(trained TTS typically ~4-8 dB MCD; unrelated speech >10)",
+        q["mcd_db"], q["lsd_db"], q["mel_l1"],
+    )
+
     out = Path(args.output_dir) / "test_synthesis"
     out.mkdir(parents=True, exist_ok=True)
     ref_wav = load_audio(

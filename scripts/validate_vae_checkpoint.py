@@ -21,8 +21,8 @@ import numpy as np
 from iris_tts_tpu.data.batching import BucketedBatcher
 from iris_tts_tpu.data.ljspeech import LJSpeechVAEDataset
 from iris_tts_tpu.models import TextConditionedVAE
-from iris_tts_tpu.train import make_vae_eval_step
-from iris_tts_tpu.utils.metrics import RunningMean
+from iris_tts_tpu.train import make_vae_eval_step, make_vae_recon_step
+from iris_tts_tpu.utils.metrics import RunningMean, quality_report
 from scripts.common import add_common_args, resolve_config, setup_logging
 from scripts.train_postnet import load_frozen_vae
 from scripts.train_vae import load_frozen_encoder
@@ -59,6 +59,7 @@ def main() -> None:
     vae_params = load_frozen_vae(cfg, args.vae_checkpoint, frozen_encoder)
 
     eval_step = jax.jit(make_vae_eval_step(cfg))
+    recon_step = jax.jit(make_vae_recon_step(cfg))
     batcher = BucketedBatcher(
         val_ds, cfg.train.batch_size, with_mel=True,
         down_factor=cfg.vae.down_factor, seed=0,
@@ -74,6 +75,18 @@ def main() -> None:
             jnp.asarray(args.kl_weight),
         )
         rm.update({k: float(v) for k, v in m.items()})
+        # Objective quality on the reconstruction (posterior mean): MCD +
+        # LSD per utterance, trimmed to true frames. Replaces the
+        # reference's loss-only validation (validate_vae_checkpoint.py:146-212).
+        recon, frame_mask = recon_step(
+            vae_params, {"encoder": frozen_encoder}, batch
+        )
+        recon, mask_np = np.asarray(recon), np.asarray(frame_mask)
+        gt = np.asarray(batch["mel"])
+        for i in range(recon.shape[0]):
+            n = int((mask_np[i] > 0).sum())
+            if n >= 4:
+                rm.update(quality_report(recon[i, :n], gt[i, :n]))
         n_batches += 1
     means = rm.means()
     if not means:
@@ -93,6 +106,13 @@ def main() -> None:
         else "reasonable"
     )
     logger.info("recon L1 %.4f → %s", recon, verdict)
+    if "mcd_db" in means:
+        logger.info(
+            "reconstruction quality: MCD=%.2f dB  LSD=%.2f dB "
+            "(trained TTS recon typically well under the ~4-8 dB "
+            "synthesis range; unrelated speech >10 dB)",
+            means["mcd_db"], means["lsd_db"],
+        )
 
     # Generation smoke test (reference: validate_vae_checkpoint.py:216-241).
     vae = TextConditionedVAE(config=cfg.vae)

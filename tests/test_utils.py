@@ -154,3 +154,71 @@ def test_mel_to_linear_shape():
     out = mel_to_linear(jnp.zeros((7, cfg.n_mels)), cfg)
     assert out.shape == (7, cfg.n_freqs)
     assert float(jnp.min(out)) >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Audio-quality metrics (MCD / LSD)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_log_mel(t=60, m=80, seed=0, shift=0.0, noise=0.0):
+    """A smooth spectral-envelope-like log-mel with optional bin-shift
+    (spectral distortion) and additive noise."""
+    rng = np.random.default_rng(seed)
+    bins = np.arange(m)
+    envelope = np.stack([
+        np.sin(2 * np.pi * (bins / m + shift) * (1 + (i % 5))) for i in range(t)
+    ])
+    return envelope + noise * rng.standard_normal((t, m))
+
+
+def test_mcd_identity_and_monotonicity():
+    from iris_tts_tpu.utils import mel_cepstral_distortion
+
+    a = _synthetic_log_mel()
+    assert mel_cepstral_distortion(a, a) == 0.0
+    small = mel_cepstral_distortion(a, a + 0.05)
+    # c0 is dropped: a constant (loudness) offset costs nothing, a
+    # spectral-shape change costs more than a small perturbation.
+    assert mel_cepstral_distortion(a, a + 1.0) < 1e-9
+    shifted = mel_cepstral_distortion(a, _synthetic_log_mel(shift=0.2))
+    assert 0 < small < shifted
+
+
+def test_mcd_scale_is_decibels():
+    from iris_tts_tpu.utils import mel_cepstral_distortion
+
+    # A known cepstral-domain gap: b = a + delta applied to one cosine
+    # component. MCD = (10/ln10)*sqrt(2)*||delta_cep||.
+    t, m = 8, 80
+    a = np.zeros((t, m))
+    k1 = np.sqrt(2.0 / m) * np.cos(np.pi * (np.arange(m) + 0.5) / m)
+    b = a + k1[None, :]  # adds exactly 1.0 to cepstral coefficient c1
+    got = mel_cepstral_distortion(a, b, n_coeffs=13)
+    expected = (10.0 / np.log(10.0)) * np.sqrt(2.0) * 1.0
+    assert abs(got - expected) < 1e-9
+
+
+def test_lsd_known_value_and_dtw_alignment():
+    from iris_tts_tpu.utils import log_spectral_distance
+
+    a = _synthetic_log_mel(t=40)
+    # Uniform natural-log offset of ln(10)/20 is exactly 1 dB everywhere.
+    b = a + np.log(10.0) / 20.0
+    assert abs(log_spectral_distance(a, b) - 1.0) < 1e-9
+    # Time-stretched copy: trim-alignment sees a big gap, DTW re-aligns it.
+    stretched = np.repeat(a, 2, axis=0)
+    lsd_trim = log_spectral_distance(a, stretched, align="trim")
+    lsd_dtw = log_spectral_distance(a, stretched, align="dtw")
+    assert lsd_dtw < 1e-9 < lsd_trim
+
+
+def test_quality_report_discriminates():
+    from iris_tts_tpu.utils import quality_report
+
+    gt = _synthetic_log_mel(seed=1)
+    near = quality_report(gt + 0.02, gt)
+    far = quality_report(_synthetic_log_mel(seed=2, shift=0.3), gt)
+    assert set(near) == {"mcd_db", "lsd_db", "mel_l1"}
+    assert near["mcd_db"] < far["mcd_db"]
+    assert near["lsd_db"] < far["lsd_db"]

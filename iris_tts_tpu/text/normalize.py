@@ -39,7 +39,9 @@ _ABBREVIATIONS = [
         (r"esq\.", "esquire"),
         (r"ltd\.", "limited"),
         (r"col\.", "colonel"),
-        (r"ft\.", "fort"),
+        # "Ft. Worth" → fort, but "6 ft." is the measurement (numbers.py
+        # expands it to feet) — gate on no digit before.
+        (r"(?<!\d)(?<!\d\s)ft\.", "fort"),
         (r"etc\.", "et cetera"),
         (r"vs\.", "versus"),
         (r"no\.\s?(?=\d)", "number "),
@@ -49,6 +51,24 @@ _ABBREVIATIONS = [
 _MONTHS = (
     "january|february|march|april|may|june|july|august|september|october|"
     "november|december"
+)
+
+# Roman numerals are expanded only in context (NeMo's classify-then-verbalize
+# approach, reference text.py:69-77): a counting noun before the numeral
+# reads as a cardinal ("Chapter IV" → "chapter four"), a capitalized proper
+# name before it reads as a regnal ordinal ("Henry VIII" → "Henry the
+# eighth"). Bare all-caps tokens are left alone — "MIX"/"CD"/"XL" are far
+# more often acronyms than numerals.
+_ROMAN_CARDINAL_CONTEXT = (
+    "chapter|act|part|section|volume|book|war|grade|phase|stage|level|"
+    "type|class|article|appendix|scene|quadrant|apollo|rocky"
+)
+_RE_ROMAN_CARDINAL = re.compile(
+    rf"\b({_ROMAN_CARDINAL_CONTEXT})\s+([IVXLCDM]{{1,8}})(?=\W|$)",
+    re.IGNORECASE,
+)
+_RE_ROMAN_REGNAL = re.compile(
+    r"\b([A-Z][a-z]{2,})\s+([IVXLCDM]{2,8})(?=\W|$)"
 )
 # "January 5" / "January 5, 1984" style dates → ordinal day reading.
 _RE_MONTH_DAY = re.compile(
@@ -63,6 +83,31 @@ _UNICODE_MAP = {
 
 def collapse_whitespace(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
+
+
+def _expand_romans(text: str) -> str:
+    from iris_tts_tpu.text.numbers import (
+        number_to_words,
+        ordinal_to_words,
+        roman_to_int,
+    )
+
+    def cardinal(m: re.Match) -> str:
+        # The context word is the gate, so even "Chapter I" reads as
+        # "chapter one" (bare "I" elsewhere stays the pronoun).
+        n = roman_to_int(m.group(2).upper())
+        if n is None:
+            return m.group(0)
+        return f"{m.group(1)} {number_to_words(n)}"
+
+    def regnal(m: re.Match) -> str:
+        n = roman_to_int(m.group(2))
+        if n is None or n > 50:  # Henry VIII yes, NASDAQ CM no
+            return m.group(0)
+        return f"{m.group(1)} the {ordinal_to_words(n)}"
+
+    text = _RE_ROMAN_CARDINAL.sub(cardinal, text)
+    return _RE_ROMAN_REGNAL.sub(regnal, text)
 
 
 def _expand_dates(text: str) -> str:
@@ -90,6 +135,7 @@ def normalize_text(text: str) -> str:
     text = unicodedata.normalize("NFKC", text)
     for pattern, full in _ABBREVIATIONS:
         text = pattern.sub(full, text)
+    text = _expand_romans(text)  # case-sensitive: must precede lowercasing
     text = _expand_dates(text)
     text = expand_numbers(text)
     text = text.lower()

@@ -80,6 +80,30 @@ def _bias(sd: Mapping[str, Any], prefix: str) -> np.ndarray:
     return _to_numpy(sd[f"{prefix}.bias"]).astype(np.float32)
 
 
+def normalize_state_dict_keys(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Canonicalize generator state-dict key layouts to the reference
+    naming (``conv_pre.*``, ``ups.{i}.*``, ``resblocks.{n}.convs{1,2}.{j}.*``,
+    ``conv_post.*``):
+
+    * ``module.`` prefix (torch DataParallel) — stripped when universal,
+    * ``generator.`` prefix (combined GAN checkpoints with flat keys) —
+      stripped when universal,
+    * a ``.conv.`` wrapper level — speechbrain's ``nnet.CNN`` Conv1d/
+      ConvTranspose1d modules hold the torch conv as ``self.conv``, so the
+      real ``tts-hifigan-ljspeech`` ``generator.ckpt`` nests every
+      parameter one level deeper than the reference's own module
+      (hifigan_pretrained.py:165-200 loads it with ``strict=False``, which
+      would silently skip such keys — a latent reference defect this
+      converter refuses to inherit).
+    """
+    keys = list(sd.keys())
+    for prefix in ("module.", "generator."):
+        if keys and all(k.startswith(prefix) for k in keys):
+            sd = {k[len(prefix):]: v for k, v in sd.items()}
+            keys = list(sd.keys())
+    return {k.replace(".conv.", "."): v for k, v in sd.items()}
+
+
 def convert_hifigan_state_dict(
     state_dict: Mapping[str, Any],
     config: HiFiGANConfig = HiFiGANConfig(),
@@ -87,8 +111,11 @@ def convert_hifigan_state_dict(
     """Torch generator state dict → flax params for ``HiFiGANGenerator``.
 
     Key naming follows the reference topology (hifigan_pretrained.py:92-121):
-    ``conv_pre``, ``ups.{i}``, ``resblocks.{n}.convs{1,2}.{j}``, ``conv_post``.
+    ``conv_pre``, ``ups.{i}``, ``resblocks.{n}.convs{1,2}.{j}``, ``conv_post``;
+    speechbrain/DataParallel/flat-GAN layouts are canonicalized first
+    (:func:`normalize_state_dict_keys`).
     """
+    state_dict = normalize_state_dict_keys(state_dict)
     params: Dict[str, Any] = {}
 
     params["conv_pre"] = {

@@ -104,8 +104,11 @@ def wav_bytes(
         raise ValueError("samples must be [N] or [N, C]")
 
     if subtype == "pcm16":
-        clipped = np.clip(samples, -1.0, 1.0)
-        raw = (clipped * 32767.0).astype("<i2").tobytes()
+        if samples.dtype == np.int16:  # already device-quantized
+            raw = samples.astype("<i2").tobytes()
+        else:
+            clipped = np.clip(samples, -1.0, 1.0)
+            raw = (clipped * 32767.0).astype("<i2").tobytes()
         fmt_tag, bits = _WAVE_FORMAT_PCM, 16
     elif subtype == "float32":
         raw = samples.astype("<f4").tobytes()

@@ -121,7 +121,7 @@ class TTSPipeline:
         self._stage_b = jax.jit(
             self._stage_b_fn,
             static_argnames=("total_frames", "use_postnet", "upsample",
-                             "mrf_impl"),
+                             "mrf_impl", "pcm16"),
         )
         self._stage_b_mel = jax.jit(
             self._stage_b_mel_fn,
@@ -130,11 +130,22 @@ class TTSPipeline:
         self._fused = jax.jit(
             self._fused_fn,
             static_argnames=("total_frames", "use_postnet", "upsample",
-                             "mrf_impl"),
+                             "mrf_impl", "pcm16"),
         )
         self._vocode = jax.jit(
             self._vocode_fn, static_argnames=("mrf_impl",)
         )
+        # Fused-path overflow observability (VERDICT r2 item 6): rows whose
+        # predicted frames exceeded the phoneme-count budget (speech-rate
+        # compression applied). Read by DynamicBatcher.stats().
+        self.fused_overflow_count = 0
+        self.fused_overflow_frames = 0  # total frames compressed away
+        self._overflow_log_t = 0.0
+        # Frontend memo: text → phoneme ids. Serving traffic repeats
+        # phrases (and every call pays G2P/lexicon lookups otherwise);
+        # bounded FIFO so a hostile stream cannot grow it unboundedly.
+        self._ids_cache: Dict[str, np.ndarray] = {}
+        self._ids_cache_max = 4096
 
     # ------------------------------------------------------------------
     # constructors
@@ -403,9 +414,20 @@ class TTSPipeline:
             )
         return self._hifigan.apply({"params": params["hifigan"]}, mel)
 
+    @staticmethod
+    def _maybe_pcm16(audio, pcm16: bool):
+        """Device-side PCM16 quantization (same truncation semantics as the
+        serving layer's host conversion, serve/server.py:_pcm16le) — halves
+        the device→host fetch bytes and removes the host quantize pass for
+        latency-sensitive serving."""
+        if not pcm16:
+            return audio
+        clipped = jnp.clip(audio.astype(jnp.float32), -1.0, 1.0)
+        return (clipped * 32767.0).astype(jnp.int16)
+
     def _stage_b_fn(self, params, enc, frames, seed, *, total_frames,
                     temperature=1.0, use_postnet=True, upsample="hard",
-                    mrf_impl="xla"):
+                    mrf_impl="xla", pcm16=False):
         """length-regulate + VAE + PostNet + HiFiGAN → waveform.
         ``seed``: scalar int32 (the PRNG key is derived inside the
         executable). Returns (audio, mel, per-row frame counts)."""
@@ -414,7 +436,7 @@ class TTSPipeline:
             upsample,
         )
         audio = self._apply_hifigan(params, mel, mrf_impl)
-        return audio, mel, n_frames
+        return self._maybe_pcm16(audio, pcm16), mel, n_frames
 
     def _stage_b_mel_fn(self, params, enc, frames, seed, *, total_frames,
                         temperature=1.0, use_postnet=True, upsample="hard"):
@@ -425,7 +447,7 @@ class TTSPipeline:
 
     def _fused_fn(self, params, ids, lengths, seed, *, total_frames,
                   temperature=1.0, use_postnet=True, upsample="hard",
-                  mrf_impl="xla"):
+                  mrf_impl="xla", pcm16=False):
         """Single-dispatch serving path: stage A + stage B in ONE executable.
 
         The frame budget is estimated on the host from the phoneme count
@@ -434,22 +456,36 @@ class TTSPipeline:
         acoustic stack — one utterance costs one device round trip. If the
         predicted total overflows the budget, durations are scaled down
         proportionally (integer floor keeps the sum within budget), slightly
-        compressing speech rate rather than truncating audio.
+        compressing speech rate rather than truncating audio. The per-row
+        frame deficit (predicted − budget, 0 when it fit) is returned so the
+        host can count compressions — a systematically-too-small
+        ``fused_frames_per_phoneme`` is observable, not silent.
         """
         enc, frames, _ = self._stage_a_fn(params, ids, lengths)
         total = jnp.sum(frames, axis=1, keepdims=True)  # [B, 1]
         capped = jnp.minimum(total, total_frames)
-        frames = jnp.where(
-            total > total_frames,
-            (frames * capped) // jnp.maximum(total, 1),
-            frames,
-        )
+        # Largest-remainder apportionment: floor-divide, then hand the
+        # leftover (capped − Σfloor) frames to the largest fractional
+        # remainders so the compressed sum EQUALS the cap. Plain floor can
+        # collapse to zero frames under heavy compression (every
+        # frames_i·capped < total ⇒ all floors 0 ⇒ silent empty audio —
+        # caught by the round-3 TPU verify drive). Positions awarded a +1
+        # necessarily have remainder > 0, which implies frames > 0, so
+        # padding rows are never bumped.
+        denom = jnp.maximum(total, 1)
+        scaled = (frames * capped) // denom
+        rem = (frames * capped) % denom
+        shortfall = capped[:, 0] - jnp.sum(scaled, axis=1)  # [B]
+        ranks = jnp.argsort(jnp.argsort(-rem, axis=1), axis=1)
+        bump = (ranks < shortfall[:, None]).astype(frames.dtype)
+        frames = jnp.where(total > total_frames, scaled + bump, frames)
+        deficit = jnp.maximum(total - total_frames, 0)[:, 0]  # [B] int32
         mel, n_frames = self._acoustic(
             params, enc, frames, seed, total_frames, temperature, use_postnet,
             upsample,
         )
         audio = self._apply_hifigan(params, mel, mrf_impl)
-        return audio, mel, n_frames
+        return self._maybe_pcm16(audio, pcm16), mel, n_frames, deficit
 
     def _vocode_fn(self, params, mel, mrf_impl="xla"):
         return self._apply_hifigan(params, mel, mrf_impl)
@@ -457,6 +493,29 @@ class TTSPipeline:
     # ------------------------------------------------------------------
     # host-side API
     # ------------------------------------------------------------------
+
+    def _count_overflows(self, deficit: np.ndarray) -> None:
+        """Record fused-path frame-budget overflows (rate-limited warning +
+        counters): systematically-too-small ``fused_frames_per_phoneme``
+        would otherwise ship subtly fast speech with zero observability."""
+        import time as _time
+
+        n_over = int((deficit > 0).sum())
+        if not n_over:
+            return
+        self.fused_overflow_count += n_over
+        self.fused_overflow_frames += int(deficit.sum())
+        now = _time.monotonic()
+        if now - self._overflow_log_t > 60.0:
+            self._overflow_log_t = now
+            logger.warning(
+                "fused path compressed %d utterance(s) by up to %d frames "
+                "(%d total so far): predicted durations exceeded the "
+                "fused_frames_per_phoneme=%d budget — speech rate is "
+                "compressed, not truncated; raise the budget if frequent",
+                n_over, int(deficit.max()), self.fused_overflow_count,
+                self.fused_frames_per_phoneme,
+            )
 
     def _next_seed(self, seed: Optional[int]) -> jnp.ndarray:
         """Scalar int32 seed for the jitted stages (no device key ops on
@@ -466,11 +525,18 @@ class TTSPipeline:
             seed = self.seed + self._seed_counter
         return jnp.asarray(seed, jnp.int32)
 
+    def _text_to_ids_cached(self, text: str) -> np.ndarray:
+        ids = self._ids_cache.get(text)
+        if ids is None:
+            ids = self.text_processor.text_to_ids(text, self.vocab)
+            if len(self._ids_cache) >= self._ids_cache_max:
+                self._ids_cache.pop(next(iter(self._ids_cache)))
+            self._ids_cache[text] = ids
+        return ids
+
     def _encode_texts(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Texts → bucketed, padded [B, P] ids + [B] lengths (host)."""
-        id_lists = [
-            self.text_processor.text_to_ids(t, self.vocab) for t in texts
-        ]
+        id_lists = [self._text_to_ids_cached(t) for t in texts]
         lengths = np.array([len(i) for i in id_lists], np.int32)
         p_bucket = pick_bucket(int(lengths.max()), self.phoneme_buckets)
         if int(lengths.max()) > p_bucket:
@@ -489,21 +555,26 @@ class TTSPipeline:
     def use_mesh(self, mesh=None, cfg=None) -> "TTSPipeline":
         """Enable data-parallel serving over a ``jax.sharding.Mesh``.
 
-        Replicates params across the mesh and shards each request batch's
-        leading dim over the ``data`` axis (batch padded to the axis size
-        with duplicate rows; the duplicates are dropped from the outputs).
-        One chip and N chips run the same code path with identical results
-        (tested on a virtual CPU mesh). New capability beyond the
-        single-device reference (SURVEY.md §2.4).
+        Places params on the mesh (wide channel dims — transformer FFN,
+        HiFiGAN/VAE conv channels — shard over the ``model`` axis when it
+        has size > 1, everything else replicates: parallel/sharding.py) and
+        shards each request batch's leading dim over the ``data`` axis
+        (batch padded to the axis size with duplicate rows; the duplicates
+        are dropped from the outputs). One chip and N chips run the same
+        code path with identical results (tested on a virtual CPU mesh,
+        both data-parallel and with model_parallel=2). New capability
+        beyond the single-device reference (SURVEY.md §2.4).
         """
         from iris_tts_tpu.config import MeshConfig
-        from iris_tts_tpu.parallel.mesh import build_mesh, replicate_params
+        from iris_tts_tpu.parallel.mesh import build_mesh
+        from iris_tts_tpu.parallel.sharding import tp_param_sharding
 
         cfg = cfg or MeshConfig()
         mesh = mesh if mesh is not None else build_mesh(cfg)
         self._mesh, self._mesh_cfg = mesh, cfg
         if len(mesh.devices.flat) > 1:
-            self.params = replicate_params(self.params, mesh)
+            # Degrades to pure replication when model_parallel == 1.
+            self.params = tp_param_sharding(self.params, mesh, cfg)
         return self
 
     def _device_batch(self, ids_np: np.ndarray, lengths_np: np.ndarray):
@@ -568,6 +639,7 @@ class TTSPipeline:
         temperature: float = 1.0,
         return_mel: bool = False,
         fused: Optional[bool] = None,
+        pcm16: bool = False,
     ):
         """Text → 22.05 kHz waveform(s).
 
@@ -580,6 +652,10 @@ class TTSPipeline:
         from phoneme count; one device round trip per call). Default: fused
         for a single utterance (latency-bound), two-stage for batches (the
         measured frame bucket keeps batch compute tight).
+
+        ``pcm16`` quantizes to int16 ON DEVICE (same truncation as the
+        serving layer's host conversion): halves the device→host fetch and
+        skips the host quantize pass — the serving transfer format.
         """
         single = isinstance(text, str)
         texts = [text] if single else list(text)
@@ -590,11 +666,12 @@ class TTSPipeline:
             ids_np, lengths = self._encode_texts(texts)
             t_bucket = self._fused_frame_budget(lengths)
             ids_dev, lengths_dev, _ = self._device_batch(ids_np, lengths)
-            audio, mel, n_frames_arr = self._fused(
+            audio, mel, n_frames_arr, deficit = self._fused(
                 self.params, ids_dev, lengths_dev,
                 self._next_seed(seed), total_frames=t_bucket,
                 temperature=temperature, use_postnet=self.use_postnet,
                 upsample=self.upsample, mrf_impl=self.mrf_impl,
+                pcm16=pcm16,
             )
         else:
             enc, frames, t_bucket, _ = self._run_stage_a(texts)
@@ -602,20 +679,29 @@ class TTSPipeline:
                 self.params, enc, frames, self._next_seed(seed),
                 total_frames=t_bucket, temperature=temperature,
                 use_postnet=self.use_postnet, upsample=self.upsample,
-                mrf_impl=self.mrf_impl,
+                mrf_impl=self.mrf_impl, pcm16=pcm16,
             )
+            deficit = None
 
         hop = self.config.hifigan.total_upsample  # samples per mel frame
         # ONE batched device→host fetch: separate np.asarray calls each pay
-        # the full per-transfer round trip on tunneled backends.
+        # the full per-transfer round trip on tunneled backends. The fused
+        # path's overflow deficit rides the same fetch (observability must
+        # not cost an extra round trip).
+        fetch = [audio, n_frames_arr]
         if return_mel:
-            audio_np, mel_np, n_frames = jax.device_get(
-                (audio, mel, n_frames_arr)
-            )
-        else:
-            audio_np, n_frames = jax.device_get((audio, n_frames_arr))
+            fetch.append(mel)
+        if deficit is not None:
+            fetch.append(deficit)
+        fetched = jax.device_get(tuple(fetch))
+        audio_np, n_frames = fetched[0], fetched[1]
+        mel_np = fetched[2] if return_mel else None
+        if deficit is not None:
+            self._count_overflows(fetched[-1][: len(texts)])
         n_frames = n_frames.astype(np.int64)
-        audio_np = np.asarray(audio_np, np.float32)
+        audio_np = np.asarray(
+            audio_np, np.int16 if pcm16 else np.float32
+        )
         # [:len(texts)] drops mesh pad-duplicate rows (no-op off-mesh).
         outs = [
             a[: int(n) * hop]
@@ -664,62 +750,13 @@ class TTSPipeline:
         return audio_np[0] if squeeze else audio_np
 
     def _chunk_long_text(self, text: str, max_phonemes: int) -> list:
-        """Sentence-pack ``text`` into chunks of <= ``max_phonemes`` ids.
+        """Sentence-pack ``text`` into <= ``max_phonemes``-id chunks (the
+        shared frontend policy — text/frontend.py:chunk_text_by_phonemes)."""
+        from iris_tts_tpu.text.frontend import chunk_text_by_phonemes
 
-        Sentences are packed greedily; a single sentence that alone exceeds
-        the cap is split at word boundaries (each word's phoneme count
-        measured through the same frontend the synthesizer uses, so the
-        packing is exact, not estimated)."""
-
-        def n_ids(t: str) -> int:
-            return len(self.text_processor.text_to_ids(t, self.vocab))
-
-        pieces = []  # (text, id_count)
-        for sent in self.text_processor.split_sentences(text):
-            n = n_ids(sent)
-            if n <= max_phonemes:
-                pieces.append((sent, n))
-                continue
-            def split_token(tok: str) -> list:
-                """Recursively halve a token until every part fits the cap
-                (pronunciation of the parts goes through G2P, so this is a
-                lossy last resort for pathological run-on tokens)."""
-                tn = n_ids(tok)
-                if tn <= max_phonemes or len(tok) <= 1:
-                    return [(tok, tn)]
-                half = len(tok) // 2
-                return split_token(tok[:half]) + split_token(tok[half:])
-
-            cur, cur_n = [], 0
-            for w in sent.split():
-                parts = (
-                    [(w, n_ids(w))] if n_ids(w) <= max_phonemes
-                    else split_token(w)
-                )
-                if len(parts) > 1:
-                    logger.warning(
-                        "token %r alone exceeds max_phonemes=%d; splitting "
-                        "mid-word", w[:40], max_phonemes,
-                    )
-                for part, wn in parts:
-                    if cur and cur_n + wn > max_phonemes:
-                        pieces.append((" ".join(cur), cur_n))
-                        cur, cur_n = [], 0
-                    cur.append(part)
-                    cur_n += wn
-            if cur:
-                pieces.append((" ".join(cur), cur_n))
-
-        chunks, cur, cur_n = [], [], 0
-        for sent, n in pieces:
-            if cur and cur_n + n > max_phonemes:
-                chunks.append(" ".join(cur))
-                cur, cur_n = [], 0
-            cur.append(sent)
-            cur_n += n
-        if cur:
-            chunks.append(" ".join(cur))
-        return chunks
+        return chunk_text_by_phonemes(
+            self.text_processor, self.vocab, text, max_phonemes
+        )
 
     def synthesize_long(
         self,
@@ -761,7 +798,7 @@ class TTSPipeline:
             return outs[0]
         gap = np.zeros(
             int(round(gap_ms / 1000.0 * self.config.audio.sample_rate)),
-            np.float32,
+            outs[0].dtype,  # float32 or the pcm16 transfer format
         )
         joined = []
         for i, a in enumerate(outs):
@@ -769,6 +806,47 @@ class TTSPipeline:
                 joined.append(gap)
             joined.append(a)
         return np.concatenate(joined)
+
+    def stream(
+        self,
+        text: str,
+        seed: Optional[int] = None,
+        temperature: float = 1.0,
+        gap_ms: float = 120.0,
+        max_phonemes: Optional[int] = None,
+        pcm16: bool = False,
+    ):
+        """Incremental synthesis: yields waveform pieces (audio chunks
+        interleaved with ``gap_ms`` silence) as they are computed.
+
+        The library-API twin of the HTTP ``/synthesize_stream`` endpoint
+        (serve/server.py): the first sentence chunk dispatches alone so
+        time-to-first-audio is one small dispatch, then the remaining
+        chunks follow. Concatenating everything yielded equals
+        :meth:`synthesize_long` except that chunks here use per-chunk
+        derived seeds (chunk i gets ``seed + i``) so the stream is
+        reproducible chunk by chunk.
+        """
+        if max_phonemes is None:
+            max_phonemes = self.phoneme_buckets[-1]
+        chunks = self._chunk_long_text(text, max_phonemes)
+        if not chunks:
+            return
+        base = None if seed is None else int(seed)
+        gap = np.zeros(
+            int(round(gap_ms / 1000.0 * self.config.audio.sample_rate)),
+            np.int16 if pcm16 else np.float32,
+        )
+        for i, chunk in enumerate(chunks):
+            if i:
+                yield gap
+            yield self.synthesize(
+                chunk,
+                seed=None if base is None else base + i,
+                temperature=temperature,
+                fused=True,
+                pcm16=pcm16,
+            )
 
     def synthesize_to_file(
         self, text: str, path: str | Path, seed: Optional[int] = None

@@ -5,6 +5,19 @@ one-shot scripts/synthesize.py CLI, reference scripts/synthesize.py:64-220).
 """
 
 from iris_tts_tpu.serve.batcher import BatchItem, DynamicBatcher
+from iris_tts_tpu.serve.export import (
+    AotPipeline,
+    ExportedSynthesizer,
+    export_pipeline,
+)
 from iris_tts_tpu.serve.server import TTSServer, serve_forever
 
-__all__ = ["BatchItem", "DynamicBatcher", "TTSServer", "serve_forever"]
+__all__ = [
+    "AotPipeline",
+    "BatchItem",
+    "DynamicBatcher",
+    "ExportedSynthesizer",
+    "TTSServer",
+    "export_pipeline",
+    "serve_forever",
+]

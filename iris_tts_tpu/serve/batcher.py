@@ -82,8 +82,13 @@ class DynamicBatcher:
 
     def __init__(self, pipeline, max_batch: int = 8,
                  max_wait_ms: float = 5.0, gap_ms: float = 120.0,
-                 max_chunks_per_request: int = 64):
+                 max_chunks_per_request: int = 64,
+                 pcm16_transfer: bool = False):
         self._pipe = pipeline
+        # Device-side int16 quantization before the fetch (halves transfer
+        # bytes; waveforms resolve as int16 — exactly the bytes the HTTP
+        # layer would have produced host-side).
+        self._pcm16 = pcm16_transfer
         self._max_batch = max(1, max_batch)
         self._max_wait_s = max_wait_ms / 1000.0
         self._gap_ms = gap_ms
@@ -107,6 +112,9 @@ class DynamicBatcher:
         self.batch_size_hist: Dict[int, int] = {}
         self._lat_lock = threading.Lock()
         self._latencies = collections.deque(maxlen=1024)  # seconds
+        # time-to-first-audio of streaming requests (server.py reports the
+        # moment the first chunk hits the wire)
+        self._ttfas = collections.deque(maxlen=1024)  # seconds
 
     # -- frontend side ------------------------------------------------------
 
@@ -161,7 +169,8 @@ class DynamicBatcher:
         process can take minutes, far past any sane request timeout."""
         for b in self._batch_buckets:
             self._pipe.synthesize(
-                ["warm up the jit cache."] * b, fused=False, seed=0
+                ["warm up the jit cache."] * b, fused=False, seed=0,
+                pcm16=self._pcm16,  # same variant live traffic will hit
             )
 
     def healthy(self) -> bool:
@@ -290,7 +299,7 @@ class DynamicBatcher:
             padded = self._pad_to_bucket(part)
             res = self._pipe.synthesize(
                 padded, temperature=group[0].temperature,
-                seed=group[0].seed, fused=False,
+                seed=group[0].seed, fused=False, pcm16=self._pcm16,
             )
             outs.extend(res[: len(part)])
             self.n_batches += 1
@@ -315,16 +324,25 @@ class DynamicBatcher:
 
     # -- observability ------------------------------------------------------
 
+    def record_ttfa(self, seconds: float) -> None:
+        """Record one streaming request's time-to-first-audio (called by
+        the HTTP layer when the first PCM chunk is written)."""
+        with self._lat_lock:
+            self._ttfas.append(seconds)
+
     def stats(self) -> Dict:
         with self._lat_lock:
             lats = sorted(self._latencies)
+            ttfas = sorted(self._ttfas)
+
+        def _pct_of(seq, p):
+            return (
+                round(1000 * seq[min(len(seq) - 1, int(p * len(seq)))], 2)
+                if seq else None
+            )
 
         def pct(p):
-            return (
-                round(1000 * lats[min(len(lats) - 1,
-                                      int(p * len(lats)))], 2)
-                if lats else None
-            )
+            return _pct_of(lats, p)
         return {
             "requests": self.n_requests,
             "batches": self.n_batches,
@@ -334,5 +352,15 @@ class DynamicBatcher:
             "batch_size_hist": dict(sorted(self.batch_size_hist.items())),
             "latency_ms": {"p50": pct(0.50), "p95": pct(0.95),
                            "max": pct(1.0)},
+            # Streaming time-to-first-audio (first chunk on the wire).
+            "ttfa_ms": {"p50": _pct_of(ttfas, 0.50),
+                        "p95": _pct_of(ttfas, 0.95),
+                        "max": _pct_of(ttfas, 1.0)},
+            # Fused-path frame-budget compressions on the underlying
+            # pipeline (utterances whose predicted durations overflowed
+            # fused_frames_per_phoneme and were rate-compressed).
+            "fused_overflows": getattr(
+                self._pipe, "fused_overflow_count", 0
+            ),
             "healthy": self.healthy(),
         }

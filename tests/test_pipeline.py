@@ -105,10 +105,19 @@ def test_fused_overflow_compresses_durations(pipeline):
     )
     hop = pipe2.config.hifigan.total_upsample
     # durations_from_log clips every phoneme to >=1 frame, so the predicted
-    # total necessarily exceeds the 8-frame budget here.
-    assert 0 < len(audio) <= 8 * hop
+    # total necessarily exceeds the 8-frame budget here — and the
+    # largest-remainder apportionment must fill that budget EXACTLY (plain
+    # floor-division could collapse to zero frames; round-3 TPU finding).
+    assert len(audio) == 8 * hop
     assert len(audio) == mel.shape[0] * hop
     assert np.isfinite(audio).all()
+    # Observability (VERDICT r2 item 6): the compression increments the
+    # overflow counters, and an in-budget call does not.
+    assert pipe2.fused_overflow_count == 1
+    assert pipe2.fused_overflow_frames > 0
+    pipe3 = dataclasses.replace(pipeline, fused_frames_per_phoneme=12)
+    pipe3.synthesize("hello world", seed=0)
+    assert pipe3.fused_overflow_count == 0
 
 
 def test_bfloat16_parity_with_float32(pipeline):
@@ -305,3 +314,30 @@ def test_save_load_roundtrips_pipeline_options(pipeline, tmp_path):
     loaded = TTSPipeline.load(tmp_path / "exported")
     assert loaded.upsample == "gaussian"
     assert loaded.mrf_impl == "xla"
+
+
+def test_stream_yields_incremental_chunks(pipeline):
+    """TTSPipeline.stream: first yield is one sentence's audio (not the
+    whole text), gaps interleave, and the layout matches the chunker."""
+    sent = "the quick brown fox jumps over the lazy dog."
+    text = " ".join([sent] * 6)
+    chunks = pipeline._chunk_long_text(text, pipeline.phoneme_buckets[-1])
+    assert len(chunks) >= 3
+    pieces = list(pipeline.stream(text, seed=4, gap_ms=50.0))
+    assert len(pieces) == 2 * len(chunks) - 1
+    gap = int(round(0.050 * pipeline.config.audio.sample_rate))
+    for i, p in enumerate(pieces):
+        if i % 2 == 1:
+            assert len(p) == gap and not p.any()  # silence gap
+        else:
+            assert len(p) > 0 and np.isfinite(p).all()
+    # chunk i is reproducible alone: stream seeds are seed+i on the fused path
+    alone = pipeline.synthesize(chunks[1], seed=5, fused=True)
+    np.testing.assert_array_equal(pieces[2], alone)
+
+
+def test_stream_pcm16(pipeline):
+    pieces = list(pipeline.stream("hello there. nice day.", seed=1,
+                                  pcm16=True))
+    assert all(p.dtype == np.int16 for p in pieces)
+    assert sum(len(p) for p in pieces) > 0

@@ -300,3 +300,70 @@ def test_http_streaming_standard_client_dechunks(server, pipeline):
         base = w.getnframes()
     gap = int(round(0.120 * pipeline.config.audio.sample_rate))
     assert abs(len(pcm) - base) <= gap * 4
+
+
+def test_streaming_ttfa_is_one_chunk_not_whole_text(server, pipeline):
+    """Time-to-first-audio of a multi-sentence stream ≈ one sentence's
+    latency, NOT the whole text's (the first chunk dispatches alone), and
+    /stats reports the TTFA percentiles (VERDICT r2 item 7)."""
+    import time
+
+    sent = "the quick brown fox jumps over the lazy dog."
+    long_text = " ".join([sent] * 5)
+    n_chunks = len(pipeline._chunk_long_text(
+        long_text, pipeline.phoneme_buckets[-1]
+    ))
+    assert n_chunks >= 4  # the premise: this text streams in many chunks
+    host, port = server.address[:2]
+
+    # Warm every shape first so compile time doesn't skew the comparison.
+    _request(server, "POST", "/synthesize", {"text": long_text})
+    _request(server, "POST", "/synthesize", {"text": sent})
+
+    # Single-sentence reference latency (whole-request wall time).
+    t0 = time.monotonic()
+    status, _, _ = _request(server, "POST", "/synthesize", {"text": sent})
+    single_s = time.monotonic() - t0
+    assert status == 200
+
+    conn = http.client.HTTPConnection(host, port, timeout=300)
+    t0 = time.monotonic()
+    conn.request("POST", "/synthesize_stream",
+                 body=json.dumps({"text": long_text}),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    # First chunk: read the frame header + payload only.
+    size = int(resp.fp.readline().strip(), 16)
+    resp.fp.read(size)
+    ttfa_s = time.monotonic() - t0
+    resp.fp.readline()
+    rest = _read_chunked(resp)
+    total_s = time.monotonic() - t0
+    conn.close()
+    # total frames = 2*n_chunks-1 (audio interleaved with gaps); one was
+    # already consumed as the TTFA probe.
+    assert len(rest) == 2 * n_chunks - 2
+
+    # TTFA ≈ one sentence's dispatch: far below the whole stream's wall
+    # time, and within a generous multiple of the single-sentence POST
+    # (CPU-test scheduling noise; on TPU the gap is far larger).
+    assert ttfa_s < 0.6 * total_s, (ttfa_s, total_s)
+    assert ttfa_s < 3.0 * single_s + 0.5, (ttfa_s, single_s)
+
+    stats = server.batcher.stats()
+    assert stats["ttfa_ms"]["p50"] is not None
+    assert stats["ttfa_ms"]["p50"] <= stats["ttfa_ms"]["max"]
+
+
+def test_pcm16_transfer_bitwise_matches_host_quantization(pipeline):
+    """pcm16_transfer=True: the batcher resolves int16 waveforms whose
+    bytes equal quantizing the float path host-side (the serving transfer
+    halves device→host bytes without changing the wire format)."""
+    from iris_tts_tpu.serve.server import _pcm16le
+
+    with DynamicBatcher(pipeline, max_wait_ms=1.0,
+                        pcm16_transfer=True) as b:
+        got = b.synthesize("hello world", timeout=300, seed=3)
+    assert got.dtype == np.int16
+    want_f = pipeline.synthesize(["hello world"], seed=3, fused=False)[0]
+    assert _pcm16le(got) == _pcm16le(want_f)

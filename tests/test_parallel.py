@@ -122,3 +122,69 @@ def test_pipeline_use_mesh_end_to_end_equality(devices):
     # single utterance (fused path) also runs on the mesh
     one = pipe.synthesize("just one utterance", seed=4)
     assert one.ndim == 1 and np.isfinite(one).all()
+
+
+def test_pipeline_use_mesh_model_parallel_equality(devices):
+    """Synthesis equality with model_parallel=2 (VERDICT r2 item 3): both
+    the two-stage and the fused single-dispatch paths on a 4x2
+    (data, model) mesh — params' wide channel dims actually sharded over
+    ``model`` — must match single-device output."""
+    from tests.test_pipeline import _small_config
+    from iris_tts_tpu.models import TTSPipeline
+
+    pipe = TTSPipeline.initialize(_small_config(), seed=0)
+    pipe.phoneme_buckets = (16, 32)
+    pipe.frame_buckets = (32, 64, 128)
+    texts = [f"hello number {i}" for i in range(5)]
+    want_staged = pipe.synthesize(texts, seed=11, fused=False)
+    want_fused = pipe.synthesize(texts, seed=12, fused=True)
+
+    cfg = MeshConfig(data_parallel=4, model_parallel=2)
+    mesh = build_mesh(cfg, devices)
+    pipe.use_mesh(mesh, cfg)
+    # The TP hook really sharded something over the model axis.
+    specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(
+            lambda x: x.sharding.spec, pipe.params,
+            is_leaf=lambda x: hasattr(x, "sharding"),
+        )
+    )
+    assert any("model" in str(s) for s in specs)
+
+    got_staged = pipe.synthesize(texts, seed=11, fused=False)
+    got_fused = pipe.synthesize(texts, seed=12, fused=True)
+    for a, b in zip(got_staged, want_staged):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+    for a, b in zip(got_fused, want_fused):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
+def test_hifigan_512ch_tensor_parallel_equality(devices):
+    """Production-topology HiFiGAN (512-initial-channel MRF ladder,
+    models/hifigan.py) vocoded with its conv channels sharded over
+    ``model`` on a 4x2 mesh equals the single-device waveform — the
+    activations flow through sharded 512/256/128-ch stages and GSPMD
+    inserts the collectives."""
+    from iris_tts_tpu.config import HiFiGANConfig
+    from iris_tts_tpu.models.hifigan import HiFiGANGenerator
+
+    cfg_hg = HiFiGANConfig()  # production: 512 initial channels, 8-8-2-2
+    gen = HiFiGANGenerator(config=cfg_hg)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((8, 24, 80)).astype(np.float32))
+    params = jax.jit(gen.init)(jax.random.PRNGKey(0), mel[:1])["params"]
+    want = np.asarray(jax.jit(gen.apply)({"params": params}, mel))
+
+    mesh_cfg = MeshConfig(data_parallel=4, model_parallel=2)
+    mesh = build_mesh(mesh_cfg, devices)
+    p_tp = tp_param_sharding(params, mesh, mesh_cfg)
+    assert any(
+        "model" in str(x.sharding.spec)
+        for x in jax.tree_util.tree_leaves(p_tp)
+        if hasattr(x, "sharding") and x.ndim >= 2 and x.shape[-1] >= 128
+    )
+    mel_sharded = batch_sharding_tree({"mel": mel}, mesh, mesh_cfg)["mel"]
+    got = np.asarray(
+        jax.jit(gen.apply)({"params": p_tp}, mel_sharded)
+    )
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=2e-5)

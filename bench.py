@@ -30,7 +30,93 @@ def _wait_for_tpu(max_wait_s: float = 300.0):
     return wait_for_devices(max_wait_s, fall_back_to_cpu=True)
 
 
+def _measure_cold_start() -> dict:
+    """Serving cold start with the AOT path (VERDICT r2 item 1).
+
+    Two child processes, run BEFORE this process claims the TPU (only one
+    process can hold the chip):
+      1. a CPU process cross-lowers the fused synthesis executable to
+         StableHLO for the ``tpu`` platform (scripts/export_serving.py path
+         — no device, no compile service),
+      2. a fresh TPU process loads the artifacts and synthesizes one
+         utterance; its wall time from process start to audio bytes on the
+         host IS the serving cold start.
+    Returns {} on any failure (bench still reports the steady-state line).
+    """
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent
+    tmp = Path(tempfile.mkdtemp(prefix="iris_bench_aot_"))
+    env_cpu = dict(os.environ)
+    env_cpu["JAX_PLATFORMS"] = "cpu"
+    try:
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, str(repo / "scripts/export_serving.py"),
+             "--random_weights", "--output", str(tmp / "aot"),
+             "--batch_sizes", "1", "--phoneme_buckets", "64",
+             "--platforms", "tpu"],
+            env=env_cpu, cwd=repo, capture_output=True, text=True,
+            timeout=900,
+        )
+        if r.returncode != 0:
+            print(f"bench: AOT export failed: {r.stderr[-800:]}",
+                  file=sys.stderr)
+            return {}
+        export_s = time.time() - t0
+        print(f"bench: AOT cross-lower (CPU) took {export_s:.1f}s",
+              file=sys.stderr)
+
+        child = (
+            "import time, sys; t0 = time.time()\n"
+            "import numpy as np\n"
+            "from iris_tts_tpu.serve import AotPipeline\n"
+            f"aot = AotPipeline({str(tmp / 'aot')!r})\n"
+            "audio = aot.synthesize("
+            "'The quick brown fox jumps over the lazy dog.', seed=0)\n"
+            "assert audio.size > 0 and np.isfinite(audio).all()\n"
+            "print(f'FIRST_AUDIO_S={time.time() - t0:.2f}')\n"
+        )
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, "-c", child], env=dict(os.environ), cwd=repo,
+            capture_output=True, text=True, timeout=900,
+        )
+        total_s = time.time() - t0
+        if r.returncode != 0:
+            print(f"bench: cold-start child failed: {r.stderr[-800:]}",
+                  file=sys.stderr)
+            return {}
+        in_proc = [
+            line for line in r.stdout.splitlines()
+            if line.startswith("FIRST_AUDIO_S=")
+        ]
+        first_audio_s = (
+            float(in_proc[0].split("=")[1]) if in_proc else total_s
+        )
+        print(
+            f"bench: cold start to first audio (AOT serving path) = "
+            f"{first_audio_s:.1f}s in-process, {total_s:.1f}s including "
+            "interpreter spawn", file=sys.stderr,
+        )
+        return {
+            "cold_start_to_first_audio_s": round(first_audio_s, 2),
+            "aot_export_s": round(export_s, 2),
+        }
+    except Exception as e:  # noqa: BLE001 — never break the headline line
+        print(f"bench: cold-start measurement failed: {e}", file=sys.stderr)
+        return {}
+
+
 def main() -> None:
+    # Cold-start FIRST: its TPU child cannot claim the chip once this
+    # process does. IRIS_BENCH_SKIP_COLDSTART=1 skips (fast iteration).
+    cold = (
+        {} if os.environ.get("IRIS_BENCH_SKIP_COLDSTART")
+        else _measure_cold_start()
+    )
     devices = _wait_for_tpu()
     print(f"bench: devices = {devices}", file=sys.stderr)
 
@@ -123,7 +209,7 @@ def main() -> None:
 
     @jax.jit
     def synth_one(params, ids, lengths, seed):
-        audio, _, _ = pipe._fused_fn(
+        audio, _, _, _ = pipe._fused_fn(
             params, ids, lengths, seed, total_frames=T1, mrf_impl=mrf_impl
         )
         return audio
@@ -160,6 +246,41 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # PCM16 transfer variant (device-side int16: half the fetch bytes).
+    pipe.synthesize(text, seed=0, pcm16=True)  # compile
+    pcm_lats = []
+    for i in range(11):
+        t0 = time.time()
+        pipe.synthesize(text, seed=i, pcm16=True)
+        pcm_lats.append(time.time() - t0)
+    pcm_p50 = sorted(pcm_lats)[len(pcm_lats) // 2]
+
+    # Host-side breakdown of the public path (VERDICT r2 item 2).
+    def p50_of(fn, n=11):
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return sorted(ts)[n // 2]
+
+    frontend_cached_ms = p50_of(lambda: pipe._encode_texts([text])) * 1e3
+
+    def uncached():
+        pipe._ids_cache.clear()
+        pipe._encode_texts([text])
+
+    frontend_uncached_ms = p50_of(uncached) * 1e3
+    print(
+        "bench: public-API breakdown — frontend text→ids "
+        f"{frontend_uncached_ms:.2f} ms uncached / "
+        f"{frontend_cached_ms:.2f} ms memoized; fused device dispatch "
+        f"{p50*1e3:.1f} ms; residual (upload+fetch+trim) "
+        f"{max(api_p50*1e3 - frontend_cached_ms - p50*1e3, 0):.1f} ms; "
+        f"pcm16 transfer variant p50 {pcm_p50*1e3:.1f} ms",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -170,6 +291,8 @@ def main() -> None:
                 "mel_frames_per_sec": round(mel_fps, 1),
                 "p50_fused_dispatch_ms": round(p50 * 1e3, 2),
                 "p50_public_api_ms": round(api_p50 * 1e3, 2),
+                "p50_public_api_pcm16_ms": round(pcm_p50 * 1e3, 2),
+                **cold,
             }
         )
     )

@@ -115,17 +115,55 @@ def spell_out(word: str) -> List[str]:
     return phones
 
 
-def g2p(word: str) -> List[str]:
-    """Convert one lowercase word to ARPABET phonemes by rule."""
-    word = re.sub(r"[^a-z]", "", word.lower())
-    if not word:
-        return []
+# Voiced consonant LETTERS for the -s/-ed voicing assimilation rules.
+_VOICED_LETTERS = set("bdglmnrvwyz") | _VOWELS
+
+# Common suffixes with fixed pronunciations, applied before the main scan
+# (longest first). Each entry: suffix → phones; the stem is re-scanned.
+_SUFFIXES = [
+    ("ability", ["AH", "B", "IH", "L", "IH", "T", "IY"]),
+    ("ology", ["AA", "L", "AH", "JH", "IY"]),
+    ("ation", ["EY", "SH", "AH", "N"]),
+    ("ically", ["IH", "K", "L", "IY"]),
+    ("ment", ["M", "AH", "N", "T"]),
+    ("ness", ["N", "AH", "S"]),
+    ("able", ["AH", "B", "AH", "L"]),
+    ("ible", ["AH", "B", "AH", "L"]),
+    ("ture", ["CH", "ER"]),
+    ("sure", ["ZH", "ER"]),
+    ("tious", ["SH", "AH", "S"]),
+    ("cious", ["SH", "AH", "S"]),
+    ("ous", ["AH", "S"]),
+    ("ful", ["F", "AH", "L"]),
+    ("ism", ["IH", "Z", "AH", "M"]),
+    ("ist", ["IH", "S", "T"]),
+    ("ity", ["IH", "T", "IY"]),
+    ("ily", ["AH", "L", "IY"]),
+    ("ly", ["L", "IY"]),
+]
+
+
+def _scan(word: str) -> List[str]:
+    """The core longest-match scan (no suffix handling)."""
 
     phones: List[str] = []
     i = 0
     n = len(word)
     while i < n:
         matched = False
+
+        # Doubled consonant → one phone ('little' → single T, 'pass' → S).
+        if (
+            i + 1 < n
+            and word[i] == word[i + 1]
+            and word[i] not in _VOWELS
+            and word[i] not in "oe"  # oo/ee are digraphs
+        ):
+            # Consume one of the pair; the survivor is handled by the
+            # ordinary rules next iteration (so 'ss' before e/i still
+            # softens etc.).
+            i += 1
+            continue
 
         # Final magic-e: C V C e$ → long vowel, silent e.
         if (
@@ -164,6 +202,41 @@ def g2p(word: str) -> List[str]:
             i += 1
             continue
 
+        # Mid-word y between consonants is the vowel IH ('system').
+        if (
+            word[i] == "y"
+            and 0 < i < n - 1
+            and word[i - 1] not in _VOWELS
+            and word[i + 1] not in _VOWELS
+        ):
+            phones.append("IH")
+            i += 1
+            continue
+
+        # '-le' after a consonant at word end → AH L ('little', 'table').
+        if (
+            word[i] == "l"
+            and i + 2 == n
+            and word[i + 1] == "e"
+            and i > 0
+            and word[i - 1] not in _VOWELS
+        ):
+            phones.extend(["AH", "L"])
+            i += 2
+            continue
+
+        # Open-syllable vowel before -tion/-sion/-ture reads long
+        # ('nation' → N EY SH AH N).
+        if (
+            word[i] in _LONG_VOWEL
+            and any(
+                word.startswith(s, i + 1) for s in ("tion", "sion", "ture")
+            )
+        ):
+            phones.append(_LONG_VOWEL[word[i]])
+            i += 1
+            continue
+
         # r-colored vowels: ar/er/ir/or/ur.
         if i + 1 < n and word[i] in _VOWELS and word[i + 1] == "r":
             colored = {
@@ -197,3 +270,57 @@ def g2p(word: str) -> List[str]:
         i += 1
 
     return phones
+
+
+_VOICELESS_TAILS = {"P", "T", "K", "F", "TH", "S", "SH", "CH"}
+
+
+def g2p(word: str) -> List[str]:
+    """Convert one lowercase word to ARPABET phonemes by rule."""
+    word = re.sub(r"[^a-z]", "", word.lower())
+    if not word:
+        return []
+
+    # Inflectional endings with voicing assimilation (CMUdict conventions):
+    # '-ed' after t/d → AH D, after a voiceless tail → T, else D;
+    # final '-s' after a voiced tail → Z ('dogs' → ... G Z).
+    if len(word) > 3 and word.endswith("ed") and word[-3] not in _VOWELS:
+        stem = _scan(word[:-2])
+        if not stem:
+            return _scan(word)
+        if stem[-1] in ("T", "D"):
+            return stem + ["AH", "D"]
+        if stem[-1] in _VOICELESS_TAILS:
+            return stem + ["T"]
+        return stem + ["D"]
+    if (
+        len(word) > 3
+        and word.endswith("s")
+        and not word.endswith("ss")
+        and word[-2] in _VOICED_LETTERS
+    ):
+        stem = _scan(word[:-1])
+        if stem:
+            if stem[-1] in ("S", "Z", "SH", "ZH", "CH", "JH"):
+                return stem + ["IH", "Z"]  # 'churches', 'roses'
+            if stem[-1] in _VOICELESS_TAILS:
+                return stem + ["S"]
+            return stem + ["Z"]
+        return _scan(word)
+
+    # Derivational suffixes with fixed readings (longest first). A stem
+    # left with a final open-syllable vowel reads long ('na|ture' → N EY).
+    for suf, ph in _SUFFIXES:
+        if word.endswith(suf) and len(word) >= len(suf) + 2:
+            stem_letters = word[: -len(suf)]
+            stem = _scan(stem_letters)
+            last = stem_letters[-1]
+            if (
+                stem
+                and last in _LONG_VOWEL
+                and stem[-1] == _SINGLE[last][0]
+            ):
+                stem[-1] = _LONG_VOWEL[last]
+            return stem + ph
+
+    return _scan(word)

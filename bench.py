@@ -149,10 +149,10 @@ def main() -> None:
     key = jnp.asarray(0, jnp.int32)
 
     # Vocoder MRF implementation. The fused Pallas kernel (ops/mrf_pallas.py)
-    # cuts HBM passes ~18x on paper, but on this backend's XLA (which fuses
-    # the leaky-relu chains into native convs well) it measured 0.63-0.98x —
-    # i.e. NOT faster (scripts/bench_mrf.py, v5e, bf16) — so XLA stays the
-    # default; IRIS_MRF_IMPL=pallas opts in for re-evaluation on other TPUs.
+    # wins the isolated stage benches on the round-3 backend (1.29-1.56x)
+    # but loses 0.77x inside the full synthesis executable (XLA's cross-op
+    # fusion at the kernel boundaries; scripts/bench_mrf.py + /tmp e2e
+    # A/B), so XLA stays the default; IRIS_MRF_IMPL=pallas opts in.
     mrf_impl = "xla" if on_cpu else os.environ.get("IRIS_MRF_IMPL", "xla")
 
     @jax.jit

@@ -45,7 +45,8 @@ def __getattr__(name):
         from iris_tts_tpu.convert import hifigan_torch
 
         return getattr(hifigan_torch, name)
-    if name in ("TTSServer", "DynamicBatcher", "serve_forever"):
+    if name in ("TTSServer", "DynamicBatcher", "serve_forever",
+                "AotPipeline", "ExportedSynthesizer", "export_pipeline"):
         from iris_tts_tpu import serve
 
         return getattr(serve, name)

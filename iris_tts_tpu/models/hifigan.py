@@ -224,13 +224,20 @@ def hifigan_apply_fused(
     Numerically equivalent to ``HiFiGANGenerator.apply`` on the same params
     (tested in tests/test_mrf_pallas.py); the MRF of every stage whose
     channel count fits the VMEM weight budget (C <= ``mrf_channels_max``)
-    runs as ONE Pallas kernel instead of ~18 XLA convs — see
-    ops/mrf_pallas.py for the traffic math. ``mrf_impl='xla'`` keeps the
-    stacked-weight layout but runs plain convs (for parity testing and
-    backends without Pallas). Measured on the v5e bench backend the fused
-    kernel is NOT faster (0.63-0.98x of XLA, scripts/bench_mrf.py) — XLA
-    fuses this chain well — so the pipeline defaults to "xla" and this
-    path is opt-in for re-evaluation on other TPU generations.
+    runs as Pallas kernels instead of ~18 XLA convs — see ops/mrf_pallas.py
+    for the traffic math. ``mrf_impl='xla'`` keeps the stacked-weight
+    layout but runs plain convs (for parity testing and backends without
+    Pallas).
+
+    Measured honestly across backends (scripts/bench_mrf.py, v5e bf16):
+    round 2 the kernel lost 0.63-0.98x; on the round-3 backend it WINS the
+    isolated stage benches (C=128 1.56x, C=64 1.48x, C=32 1.29x) but still
+    LOSES end-to-end inside the full synthesis executable (0.77x: 150.5 vs
+    115.5 ms for B=8 x 11.9 s — XLA's cross-op fusion and scheduling
+    around the kernel boundaries outweigh the per-stage gains, and the
+    Mosaic helper rejects the single-group 126-tap kernel that would halve
+    the HBM passes). The pipeline therefore still defaults to "xla"; this
+    path stays an opt-in, re-benchmarked each backend generation.
 
     Args:
         params: HiFiGANGenerator param tree (conv_pre / ups_i / resblocks_* /

@@ -94,9 +94,11 @@ class TTSPipeline:
     upsample: str = "hard"
     # Vocoder MRF implementation: "xla" (flax module, portable, default) or
     # "pallas" (fused kernels for stages with C <= 128, ops/mrf_pallas.py;
-    # TPU only). On the v5e bench backend the fused kernel measured
-    # 0.63-0.98x of XLA (scripts/bench_mrf.py) — XLA already fuses this
-    # chain well — so "pallas" is an opt-in for re-evaluation, not a win.
+    # TPU only). Honest bench history (scripts/bench_mrf.py, v5e bf16):
+    # round-2 backend 0.63-0.98x of XLA; round-3 backend wins the isolated
+    # stages (1.29-1.56x) but loses 0.77x inside the full synthesis
+    # executable — so "xla" stays the default and "pallas" is an opt-in
+    # re-measured per backend generation.
     mrf_impl: str = "xla"
     # Optional data-parallel serving mesh (set via use_mesh(); None =
     # single-device). When set, every synthesis entry point pads the batch

@@ -54,34 +54,21 @@ def mrf_halo(
     return _round_up(max(halos), 8)
 
 
-# Below this channel count the k-tap shifted-matmul sum underuses the MXU's
-# 128-wide contraction dim; im2col concatenation widens it to k·C at the
-# cost of one extra VMEM copy of the activations — the same trade as
-# ops/conv.py's _IM2COL_MAX_CIN, re-derived inside the kernel.
-_IM2COL_MAX_C = 64
-
-
 def _conv_valid(a: jnp.ndarray, w: jnp.ndarray, d: int) -> jnp.ndarray:
-    """Valid-mode dilated conv on VMEM-resident data.
+    """Valid-mode dilated conv on VMEM-resident data as k shifted MXU
+    matmuls.
 
     a [L, C], w [k, C, C] → [L − (k−1)·d, C] f32; output index i equals the
     'same'-padded conv at input position i + (k−1)·d/2.
 
-    Wide channels: k shifted MXU matmuls. Narrow channels (C <= 64): one
-    [L_out, k·C] @ [k·C, C] im2col matmul — 2-4x better MXU utilization at
-    the vocoder's late stages.
+    An in-kernel im2col variant (concatenate k slices → one [L, k·C]
+    matmul) was tried for narrow channels and removed: the round-3 Mosaic
+    compile helper consistently 500s on it, and the plain shifted-matmul
+    form WINS against XLA at every narrow stage anyway (C=128 1.56x,
+    C=64 1.48x, C=32 1.29x — scripts/bench_mrf.py, v5e, bf16, tile 2048).
     """
-    k, c = w.shape[0], w.shape[1]
+    k = w.shape[0]
     l_out = a.shape[0] - (k - 1) * d
-    if k > 1 and c <= _IM2COL_MAX_C:
-        cols = [
-            jax.lax.slice_in_dim(a, j * d, j * d + l_out, axis=0)
-            for j in range(k)
-        ]
-        stacked = jnp.concatenate(cols, axis=-1)  # [L_out, k·C]
-        return jnp.dot(
-            stacked, w.reshape(k * c, c), preferred_element_type=jnp.float32
-        )
     acc = None
     for j in range(k):
         s = jax.lax.slice_in_dim(a, j * d, j * d + l_out, axis=0)

@@ -7,8 +7,10 @@ create_phoneme_mapping`` mirror /root/reference/src/iris/text.py:28-307.
 
 The implementation stack is: rule normalization (:mod:`normalize`) →
 lexicon lookup with first-pronunciation + stress stripping (:mod:`lexicon`)
-→ rule-based G2P fallback (:mod:`g2p`) → character spell-out last resort —
-the same fallback ladder as the reference (text.py:164-194), with pure-Python
+→ neural G2P (:mod:`neural_g2p`, a transformer trained on the shipped
+CMUdict — the counterpart of the reference's g2p_en) → rule-based G2P
+fallback (:mod:`g2p`) → character spell-out last resort — the same fallback
+ladder as the reference (text.py:164-194), with pure-Python/first-party
 replacements for the pynini/nltk/g2p_en native dependencies (SURVEY.md §2.3).
 """
 
@@ -45,10 +47,22 @@ class TextProcessor:
         lexicon: Optional[Lexicon] = None,
         use_g2p: bool = True,
         spell_acronyms: bool = True,
+        neural_g2p=None,
     ):
         self.lexicon = lexicon or Lexicon()
         self.use_g2p = use_g2p
         self.spell_acronyms = spell_acronyms
+        # Lazy: constructing NeuralG2P loads nothing; the first OOV word
+        # pays the one-time checkpoint load + jit (and rules still back it
+        # up if that fails). Pass neural_g2p=False to force rules only.
+        if neural_g2p is None or neural_g2p is True:
+            from iris_tts_tpu.text.neural_g2p import NeuralG2P
+
+            self.neural_g2p = NeuralG2P() if NeuralG2P.available() else None
+        elif neural_g2p is False:
+            self.neural_g2p = None
+        else:
+            self.neural_g2p = neural_g2p
 
     # -- normalization -------------------------------------------------------
 
@@ -72,6 +86,10 @@ class TextProcessor:
             return [strip_stress(p) for p in phones]
         bare = word_clean.replace("'", "")
         if self.use_g2p:
+            if self.neural_g2p is not None:
+                out = self.neural_g2p(bare)
+                if out:
+                    return out
             out = g2p(bare)
             if out:
                 return out
@@ -154,19 +172,25 @@ def create_text_processor(
     use_nemo: bool = True,  # accepted for API parity; rule engine is built in
     lang: str = "en",
     lexicon_path: Optional[str | Path] = None,
+    neural_g2p=None,
 ) -> TextProcessor:
     """Factory matching the reference signature (text.py:291-307).
 
     ``use_nemo`` is accepted for compatibility; normalization is always the
     deterministic built-in rule engine. ``lexicon_path`` may point at any
-    CMUdict-format file to extend the built-in core lexicon.
+    CMUdict-format file to extend the built-in core lexicon. ``neural_g2p``:
+    None/True = use the shipped transformer checkpoint when present (the
+    reference's use_g2p flag likewise selects the *neural* g2p_en package),
+    False = rule G2P only, or a ready NeuralG2P instance.
     """
     del use_nemo, lang
     lexicon = None
     if lexicon_path is not None and Path(lexicon_path).exists():
         lexicon = Lexicon.from_cmudict_file(lexicon_path)
         logger.info("Loaded lexicon with %d entries", len(lexicon))
-    return TextProcessor(lexicon=lexicon, use_g2p=use_g2p)
+    return TextProcessor(
+        lexicon=lexicon, use_g2p=use_g2p, neural_g2p=neural_g2p
+    )
 
 
 def chunk_text_by_phonemes(

@@ -1,0 +1,243 @@
+"""Neural G2P: model, checkpoint round trip, frontend ladder, quality gate.
+
+The reference's OOV path is the neural g2p_en package
+(/root/reference/src/iris/text.py:186-190); ours is a transformer trained on
+the shipped CMUdict (models/g2p.py + scripts/train_g2p.py) with the rule
+engine as backstop. The quality gate at the bottom pins the shipped
+checkpoint's held-out PER well below the rule engine's ~0.23.
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iris_tts_tpu.models.g2p import (
+    CHAR_PAD, G2PConfig, G2PTransformer, PHONE_BOS, PHONE_EOS, N_SPECIAL,
+    encode_word, greedy_decode,
+)
+from iris_tts_tpu.text.neural_g2p import (
+    DEFAULT_CHECKPOINT, NeuralG2P, load_g2p, save_g2p,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+TINY = G2PConfig(embed_dim=32, num_heads=2, enc_blocks=1, dec_blocks=1,
+                 max_word_len=12, max_phone_len=14)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = G2PTransformer(TINY)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((2, TINY.max_word_len), jnp.int32),
+        jnp.zeros((2, TINY.max_phone_len), jnp.int32),
+    )
+    return model, params
+
+
+def test_encode_word():
+    assert encode_word("cat", 6) == [3, 1, 20, CHAR_PAD, CHAR_PAD, CHAR_PAD]
+    assert encode_word("o'er", 6)[:4] == [15, 27, 5, 18]
+    assert encode_word("abc123", 12) is None  # digits unsupported
+    assert encode_word("x" * 13, 12) is None  # too long
+    assert encode_word("", 12) is None
+
+
+def test_model_shapes_and_masking(tiny_model):
+    model, params = tiny_model
+    chars = jnp.asarray(
+        [encode_word("cat", TINY.max_word_len),
+         encode_word("dog", TINY.max_word_len)], jnp.int32
+    )
+    pin = jnp.zeros((2, TINY.max_phone_len), jnp.int32).at[:, 0].set(
+        PHONE_BOS
+    )
+    logits = model.apply(params, chars, pin)
+    assert logits.shape == (2, TINY.max_phone_len, TINY.phone_vocab)
+    assert bool(jnp.isfinite(logits).all())
+
+    # Causality: changing a LATER decoder input must not change the logits
+    # at an earlier position.
+    pin2 = pin.at[:, 5].set(7)
+    logits2 = model.apply(params, chars, pin2)
+    np.testing.assert_allclose(
+        np.asarray(logits[:, :5]), np.asarray(logits2[:, :5]),
+        rtol=0, atol=1e-5,
+    )
+    assert not np.allclose(np.asarray(logits[:, 5:]),
+                           np.asarray(logits2[:, 5:]), atol=1e-5)
+
+
+def test_char_padding_is_inert(tiny_model):
+    """Extra PAD chars beyond the word must not change the encoding."""
+    model, params = tiny_model
+    a = jnp.asarray([encode_word("cats", TINY.max_word_len)], jnp.int32)
+    enc_a, valid = model.apply(params, a, method=G2PTransformer.encode)
+    # Same word with the pad tail forced to a different PAD run length is
+    # impossible by construction, so check invariance differently: encoding
+    # of the valid prefix must not depend on batch padding rows.
+    b = jnp.concatenate([a, jnp.zeros_like(a)], axis=0)
+    enc_b, _ = model.apply(params, b, method=G2PTransformer.encode)
+    np.testing.assert_allclose(
+        np.asarray(enc_a[0]), np.asarray(enc_b[0]), atol=1e-5
+    )
+    assert bool(valid[0, :4].all()) and not bool(valid[0, 4:].any())
+
+
+def test_greedy_decode_contract(tiny_model):
+    model, params = tiny_model
+    chars = jnp.asarray(
+        [encode_word("cat", TINY.max_word_len)] * 3, jnp.int32
+    )
+    toks = np.asarray(greedy_decode(model, params, chars))
+    assert toks.shape == (3, TINY.max_phone_len)
+    assert (toks[:, 0] == PHONE_BOS).all()
+    # Identical inputs decode identically (deterministic).
+    assert (toks[0] == toks[1]).all() and (toks[1] == toks[2]).all()
+    # After an EOS, only PAD follows.
+    row = toks[0, 1:]
+    eos = np.nonzero(row == PHONE_EOS)[0]
+    if eos.size:
+        assert (row[eos[0] + 1:] == 0).all()
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_model):
+    model, params = tiny_model
+    path = tmp_path / "g2p.npz"
+    save_g2p(path, params, TINY, meta={"val_per": 0.5})
+    restored, cfg, meta = load_g2p(path)
+    assert cfg == TINY
+    assert meta["val_per"] == 0.5
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(restored)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        assert b.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3
+        )  # fp16 storage
+
+    # Decoding through the wrapper is identical to decoding the restored
+    # params directly.
+    g = NeuralG2P(path)
+    out = g("zzyzx")
+    toks = np.asarray(greedy_decode(
+        model, restored,
+        jnp.asarray([encode_word("zzyzx", TINY.max_word_len)], jnp.int32),
+    ))[0]
+    want = []
+    for t in toks[1:]:
+        if t == PHONE_EOS or t < N_SPECIAL:
+            break
+        want.append(int(t))
+    from iris_tts_tpu.text.lexicon import ARPABET
+    assert out == [ARPABET[t - N_SPECIAL] for t in want]
+
+
+def test_wrapper_failure_modes(tmp_path):
+    g = NeuralG2P(tmp_path / "missing.npz")
+    assert g("anything") == []  # no checkpoint → graceful empty
+    assert not NeuralG2P.available(tmp_path / "missing.npz")
+
+    bad = tmp_path / "bad.npz"
+    bad.write_bytes(b"not an npz")
+    g2 = NeuralG2P(bad)
+    assert g2("anything") == []  # corrupt checkpoint → graceful empty
+
+
+def test_frontend_ladder(tmp_path, monkeypatch):
+    """Lexicon beats neural G2P; neural-off falls back to rules; the
+    env kill switch works."""
+    from iris_tts_tpu.text.frontend import TextProcessor
+    from iris_tts_tpu.text.g2p import g2p
+
+    proc_rules = TextProcessor(neural_g2p=False)
+    # In-lexicon word: identical regardless of G2P backend.
+    assert proc_rules.word_to_phonemes("hello") == ["HH", "AH", "L", "OW"]
+    # OOV through rules engine.
+    oov = "brontolimity"
+    assert proc_rules.word_to_phonemes(oov) == g2p(oov)
+
+    monkeypatch.setenv("IRIS_NEURAL_G2P", "0")
+    assert not NeuralG2P.available()
+    proc_auto = TextProcessor()
+    assert proc_auto.neural_g2p is None
+
+
+def test_train_script_smoke(tmp_path):
+    """End-to-end CLI: tiny subsample, 2 epochs, checkpoint loads + decodes."""
+    out = tmp_path / "g2p_tiny.npz"
+    # Clean env (same pattern as tests/test_scripts.py): drop the site
+    # customization dir from PYTHONPATH so JAX_PLATFORMS=cpu sticks and the
+    # subprocess never dials hardware from inside the suite.
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin:/usr/local/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root",
+           "JAX_COMPILATION_CACHE_DIR": str(REPO / ".jax_cache_cpu"),
+           "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "5"}
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts/train_g2p.py"),
+         "--max_entries", "300", "--epochs", "2", "--batch_size", "128",
+         "--embed_dim", "32", "--enc_blocks", "1", "--dec_blocks", "1",
+         "--eval_every", "2", "--output", str(out)],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+    g = NeuralG2P(out)
+    phones = g("wug")
+    from iris_tts_tpu.text.lexicon import ARPABET
+    assert all(p in ARPABET for p in phones)
+
+
+@pytest.mark.skipif(
+    not DEFAULT_CHECKPOINT.exists(),
+    reason="shipped g2p checkpoint not present",
+)
+def test_shipped_checkpoint_quality():
+    """Held-out PER gate for the shipped checkpoint.
+
+    Mirrors tests/test_text.py's rule-G2P measurement (PER ~0.23): the
+    neural model must beat it decisively on the SAME deterministic held-out
+    split it never trained on (crc32 % 50 == 0, scripts/train_g2p.py).
+    """
+    import zlib
+
+    from iris_tts_tpu.text.lexicon import Lexicon
+
+    g = NeuralG2P()
+    table = Lexicon()._table
+    val = [w for w in sorted(table)
+           if zlib.crc32(w.encode()) % 50 == 0 and w.isalpha()]
+    sample = val[::12]  # ~200 held-out words, deterministic
+    assert len(sample) > 150
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[len(b)]
+
+    preds = g.predict_batch(sample)
+    err = den = exact = 0
+    for w, pred in zip(sample, preds):
+        ref = table[w]
+        err += lev(pred, ref)
+        den += len(ref)
+        exact += pred == ref
+    per = err / den
+    print(f"neural g2p vs CMUdict held-out: PER={per:.3f} "
+          f"exact={exact / len(sample):.3f}")
+    assert per < 0.12  # rule engine measures ~0.23 on its own gate
+    assert exact / len(sample) > 0.5

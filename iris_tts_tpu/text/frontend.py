@@ -99,15 +99,37 @@ class TextProcessor:
 
     # -- sentence level ------------------------------------------------------
 
+    def _prefetch_oov(self, words: List[str]) -> None:
+        """Batch all out-of-lexicon words of a sentence into ONE neural-G2P
+        dispatch (its per-word results are memoized, so the subsequent
+        per-word ladder hits the cache). Saves a device round trip per OOV
+        word on the serving path."""
+        if not (self.use_g2p and self.neural_g2p is not None):
+            return
+        oov = []
+        seen = set()
+        for word in words:
+            w = _APOSTROPHE_RE.sub("'", word.lower()).strip("'")
+            if not w or w in seen:
+                continue
+            seen.add(w)
+            if self.lexicon.lookup(w) is None and (
+                "'" not in w or self.lexicon.lookup(w.replace("'", "")) is None
+            ):
+                oov.append(w.replace("'", ""))
+        if oov:
+            self.neural_g2p.predict_batch(oov)
+
     def text_to_phonemes(self, text: str, separator: str = " ") -> str:
         """Full sentence → space-joined phoneme string
         (reference: text.py:132-162)."""
         norm = self.normalize_text(text)
+        words = [
+            w for w in (_WORD_CLEAN_RE.sub("", t) for t in norm.split()) if w
+        ]
+        self._prefetch_oov(words)
         phonemes: List[str] = []
-        for word in norm.split():
-            word_clean = _WORD_CLEAN_RE.sub("", word)
-            if not word_clean:
-                continue
+        for word_clean in words:
             phonemes.extend(self.word_to_phonemes(word_clean))
         return separator.join(phonemes)
 

@@ -5,11 +5,13 @@ The reference's OOV fallback is the neural g2p_en package
 transformer trained on the shipped CMUdict by ``scripts/train_g2p.py``
 (:mod:`iris_tts_tpu.models.g2p`), stored as an fp16 npz inside the package.
 
-Host-side by design — G2P runs on words, not audio tensors — so the decode
-prefers the CPU backend when one is registered (a tunneled-TPU dispatch
-costs a fixed ~27 ms round trip that a 3M-param model never earns back). Everything is lazy: importing this module, or constructing
-:class:`NeuralG2P`, loads nothing; the first out-of-lexicon word pays the
-one-time checkpoint load + jit, and per-word results are memoized.
+Host-side by design — G2P runs on words, not audio tensors — so inference
+is a pure-NumPy forward pass (:class:`_NumpyG2P`): no jit, no device
+dispatch, no compile cost at request time. Everything is lazy: importing
+this module, or constructing :class:`NeuralG2P`, loads nothing; the first
+out-of-lexicon word pays the one-time checkpoint load, and per-word results
+are memoized. The jax :class:`~iris_tts_tpu.models.g2p.G2PTransformer` is
+the training/eval side of the same checkpoint.
 """
 
 from __future__ import annotations
@@ -28,11 +30,6 @@ logger = logging.getLogger(__name__)
 DEFAULT_CHECKPOINT = (
     Path(__file__).resolve().parent / "data" / "g2p_transformer.npz"
 )
-
-# Batch buckets for the decode jit (words per dispatch). Word lookups arrive
-# one or a few at a time; the ladder keeps the compile-cache small.
-_BATCH_BUCKETS = (1, 4, 16, 64)
-
 
 def save_g2p(path: str | Path, params, cfg, meta: Optional[dict] = None):
     """Serialize params (fp16) + config + metadata into one npz."""
@@ -75,6 +72,221 @@ def load_g2p(path: str | Path):
     return params, G2PConfig(**manifest["config"]), manifest.get("meta", {})
 
 
+class _NumpyG2P:
+    """Pure-NumPy forward pass over the checkpoint's flat param dict.
+
+    The serving environment pins ``JAX_PLATFORMS`` to the hardware plugin
+    (no CPU backend), so a jax decode would ride the TPU tunnel: ~27 ms
+    round trip per OOV batch plus a request-time jit compile per batch
+    bucket. A 3M-param seq2seq needs none of that — host NumPy decodes a
+    word in single-digit ms, keeps the text frontend fully host-side, and
+    leaves the device to the synthesis executables. Mirrors
+    :class:`iris_tts_tpu.models.g2p.G2PTransformer` exactly (flax
+    MultiHeadDotProductAttention conventions; parity pinned by
+    ``tests/test_neural_g2p.py::test_numpy_decode_matches_jax``).
+    """
+
+    def __init__(self, flat: Dict[str, np.ndarray], cfg):
+        self.p = flat
+        self.cfg = cfg
+        self.head_dim = cfg.embed_dim // cfg.num_heads
+
+    @staticmethod
+    def _ln(x, scale, bias, eps=1e-6):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * scale + bias
+
+    def _dense(self, x, prefix):
+        return x @ self.p[f"{prefix}/kernel"] + self.p[f"{prefix}/bias"]
+
+    def _mha(self, q_in, kv_in, prefix, mask):
+        """Flax MultiHeadDotProductAttention: kernels [E,H,D], out [H,D,E];
+        mask [B,Tq,Tk] boolean (True = attend)."""
+        p = self.p
+
+        def proj(x, name):
+            return (
+                np.einsum("bte,ehd->bthd", x, p[f"{prefix}/{name}/kernel"])
+                + p[f"{prefix}/{name}/bias"]
+            )
+
+        q = proj(q_in, "query") / np.sqrt(self.head_dim).astype(np.float32)
+        k = proj(kv_in, "key")
+        v = proj(kv_in, "value")
+        logits = np.einsum("bqhd,bkhd->bhqk", q, k)
+        logits = np.where(mask[:, None, :, :], logits, np.float32(-1e10))
+        w = np.exp(logits - logits.max(-1, keepdims=True))
+        w = w / w.sum(-1, keepdims=True)
+        out = np.einsum("bhqk,bkhd->bqhd", w, v)
+        return (
+            np.einsum("bqhd,hde->bqe", out, p[f"{prefix}/out/kernel"])
+            + p[f"{prefix}/out/bias"]
+        )
+
+    def _ffn(self, x, prefix):
+        h = np.maximum(self._dense(x, f"{prefix}/ffn_in"), 0.0)
+        return self._dense(h, f"{prefix}/ffn_out")
+
+    def _block_ln(self, x, prefix):
+        return self._ln(
+            x, self.p[f"{prefix}/scale"], self.p[f"{prefix}/bias"]
+        )
+
+    def encode(self, char_ids: np.ndarray):
+        p, cfg = self.p, self.cfg
+        valid = char_ids != 0
+        x = (
+            p["params/char_embedding/embedding"][char_ids]
+            + p["params/char_position/embedding"][None, : char_ids.shape[1]]
+        )
+        mask = valid[:, :, None] & valid[:, None, :]
+        for i in range(cfg.enc_blocks):
+            pre = f"params/enc_{i}"
+            x = self._block_ln(
+                x + self._mha(x, x, f"{pre}/attention", mask),
+                f"{pre}/attn_norm",
+            )
+            x = self._block_ln(x + self._ffn(x, pre), f"{pre}/ffn_norm")
+        x = self._block_ln(x, "params/enc_norm")
+        return x * valid[..., None], valid
+
+    def decode_step(self, tokens: np.ndarray, enc, char_valid):
+        """Teacher-forced logits for the full buffer (numpy mirror of
+        G2PTransformer.decode)."""
+        p, cfg = self.p, self.cfg
+        t = tokens.shape[1]
+        y = (
+            p["params/phone_embedding/embedding"][tokens]
+            + p["params/phone_position/embedding"][None, :t]
+        )
+        causal = np.tril(np.ones((t, t), bool))[None]
+        causal = np.broadcast_to(causal, (tokens.shape[0], t, t))
+        cross = np.broadcast_to(
+            char_valid[:, None, :],
+            (tokens.shape[0], t, char_valid.shape[1]),
+        )
+        for i in range(cfg.dec_blocks):
+            pre = f"params/dec_{i}"
+            y = self._block_ln(
+                y + self._mha(y, y, f"{pre}/self_attention", causal),
+                f"{pre}/self_norm",
+            )
+            y = self._block_ln(
+                y + self._mha(y, enc, f"{pre}/cross_attention", cross),
+                f"{pre}/cross_norm",
+            )
+            y = self._block_ln(y + self._ffn(y, pre), f"{pre}/ffn_norm")
+        return self._dense(y, "params/out_proj")
+
+    def _proj_heads(self, x, prefix):
+        """[B, E] (or [B, T, E]) → per-head projection via [E,H,D] kernel."""
+        p = self.p
+        return (
+            np.einsum("...e,ehd->...hd", x, p[f"{prefix}/kernel"])
+            + p[f"{prefix}/bias"]
+        )
+
+    def greedy_decode(self, char_ids: np.ndarray) -> np.ndarray:
+        """[B, W] int → [B, max_phone_len] tokens (BOS, phones, EOS, PAD).
+
+        Incremental K/V-cache decode: each step projects only the NEW
+        position (post-LN causality guarantees earlier positions' activations
+        never change — pinned by test_model_shapes_and_masking), so the whole
+        word costs O(T) small matmuls instead of O(T²) full-buffer passes.
+        Early-exits once every row has emitted EOS."""
+        p, cfg = self.p, self.cfg
+        b = char_ids.shape[0]
+        t_max = cfg.max_phone_len
+        enc, valid = self.encode(char_ids)
+        scale = np.sqrt(self.head_dim).astype(np.float32)
+
+        # Cross-attention K/V depend only on the encoder output.
+        cross_kv = [
+            (
+                self._proj_heads(enc, f"params/dec_{i}/cross_attention/key"),
+                self._proj_heads(enc, f"params/dec_{i}/cross_attention/value"),
+            )
+            for i in range(cfg.dec_blocks)
+        ]
+        neg = np.float32(-1e10)
+        self_k = [
+            np.zeros((b, t_max, cfg.num_heads, self.head_dim), np.float32)
+            for _ in range(cfg.dec_blocks)
+        ]
+        self_v = [np.zeros_like(k) for k in self_k]
+
+        tokens = np.zeros((b, t_max), np.int64)
+        tokens[:, 0] = 1  # PHONE_BOS
+        done = np.zeros((b,), bool)
+        for t in range(t_max - 1):
+            y = (
+                p["params/phone_embedding/embedding"][tokens[:, t]]
+                + p["params/phone_position/embedding"][t]
+            )  # [B, E]
+            for i in range(cfg.dec_blocks):
+                pre = f"params/dec_{i}"
+                # Causal self-attention over cached positions 0..t.
+                self_k[i][:, t] = self._proj_heads(
+                    y, f"{pre}/self_attention/key"
+                )
+                self_v[i][:, t] = self._proj_heads(
+                    y, f"{pre}/self_attention/value"
+                )
+                q = self._proj_heads(y, f"{pre}/self_attention/query") / scale
+                att = np.einsum("bhd,bkhd->bhk", q, self_k[i][:, : t + 1])
+                att = att - att.max(-1, keepdims=True)
+                w = np.exp(att)
+                w /= w.sum(-1, keepdims=True)
+                o = np.einsum("bhk,bkhd->bhd", w, self_v[i][:, : t + 1])
+                o = (
+                    np.einsum(
+                        "bhd,hde->be", o,
+                        p[f"{pre}/self_attention/out/kernel"],
+                    )
+                    + p[f"{pre}/self_attention/out/bias"]
+                )
+                y = self._ln(
+                    y + o, p[f"{pre}/self_norm/scale"],
+                    p[f"{pre}/self_norm/bias"],
+                )
+                # Cross-attention over the (fixed) character encoding.
+                ck, cv = cross_kv[i]
+                q = (
+                    self._proj_heads(y, f"{pre}/cross_attention/query")
+                    / scale
+                )
+                att = np.einsum("bhd,bkhd->bhk", q, ck)
+                att = np.where(valid[:, None, :], att, neg)
+                att = att - att.max(-1, keepdims=True)
+                w = np.exp(att)
+                w /= w.sum(-1, keepdims=True)
+                o = np.einsum("bhk,bkhd->bhd", w, cv)
+                o = (
+                    np.einsum(
+                        "bhd,hde->be", o,
+                        p[f"{pre}/cross_attention/out/kernel"],
+                    )
+                    + p[f"{pre}/cross_attention/out/bias"]
+                )
+                y = self._ln(
+                    y + o, p[f"{pre}/cross_norm/scale"],
+                    p[f"{pre}/cross_norm/bias"],
+                )
+                h = np.maximum(self._dense(y, f"{pre}/ffn_in"), 0.0)
+                y = self._ln(
+                    y + self._dense(h, f"{pre}/ffn_out"),
+                    p[f"{pre}/ffn_norm/scale"], p[f"{pre}/ffn_norm/bias"],
+                )
+            nxt = self._dense(y, "params/out_proj").argmax(-1)
+            nxt = np.where(done, 0, nxt)
+            tokens[:, t + 1] = nxt
+            done |= nxt == 2  # PHONE_EOS
+            if done.all():
+                break
+        return tokens
+
+
 class NeuralG2P:
     """Word → ARPABET phonemes via the shipped transformer checkpoint.
 
@@ -109,30 +321,21 @@ class NeuralG2P:
             if self._loaded or self._failed:
                 return self._loaded
             try:
-                import jax
-
-                from iris_tts_tpu.models.g2p import (
-                    G2PTransformer, N_SPECIAL, greedy_decode,
-                )
+                from iris_tts_tpu.models.g2p import G2PConfig, N_SPECIAL
                 from iris_tts_tpu.text.lexicon import ARPABET
 
-                params, cfg, meta = load_g2p(self.checkpoint)
-                model = G2PTransformer(cfg)
-                try:
-                    device = jax.local_devices(backend="cpu")[0]
-                except Exception:  # no cpu backend registered — use default
-                    device = None
-
-                def decode_fn(p, c):
-                    return greedy_decode(model, p, c)
-
-                # jit follows its committed inputs' device: putting params
-                # (and, below, each input batch) on CPU pins the decode there.
-                self._decode = jax.jit(decode_fn)
-                self._device = device
-                self._params = (
-                    jax.device_put(params, device) if device else params
-                )
+                # Host-only load: flat numpy fp32 params, no jax involved —
+                # see :class:`_NumpyG2P` for why the decode stays off device.
+                with np.load(self.checkpoint, allow_pickle=False) as z:
+                    manifest = json.loads(str(z["__manifest__"]))
+                    flat = {
+                        k: np.asarray(z[k], np.float32)
+                        if z[k].dtype == np.float16 else z[k]
+                        for k in z.files if k != "__manifest__"
+                    }
+                cfg = G2PConfig(**manifest["config"])
+                meta = manifest.get("meta", {})
+                self._net = _NumpyG2P(flat, cfg)
                 self._cfg = cfg
                 self._id_to_phone = {
                     i + N_SPECIAL: p for i, p in enumerate(ARPABET)
@@ -170,27 +373,16 @@ class NeuralG2P:
                 todo.append((i, w, cid))
         if not todo:
             return out
-        bucket = next(
-            (b for b in _BATCH_BUCKETS if b >= len(todo)), _BATCH_BUCKETS[-1]
-        )
-        for start in range(0, len(todo), bucket):
-            chunk = todo[start : start + bucket]
-            arr = np.zeros((bucket, self._cfg.max_word_len), np.int32)
-            for row, (_, _, cid) in enumerate(chunk):
-                arr[row] = cid
-            if self._device is not None:
-                import jax
-
-                arr = jax.device_put(arr, self._device)
-            toks = np.asarray(self._decode(self._params, arr))
-            for row, (i, w, _) in enumerate(chunk):
-                phones = []
-                for t in toks[row, 1:]:
-                    if t == PHONE_EOS or t < N_SPECIAL:
-                        break
-                    phones.append(self._id_to_phone[int(t)])
-                self._cache[w] = phones
-                out[i] = list(phones)
+        arr = np.asarray([cid for (_, _, cid) in todo], np.int32)
+        toks = self._net.greedy_decode(arr)
+        for row, (i, w, _) in enumerate(todo):
+            phones = []
+            for t in toks[row, 1:]:
+                if t == PHONE_EOS or t < N_SPECIAL:
+                    break
+                phones.append(self._id_to_phone[int(t)])
+            self._cache[w] = phones
+            out[i] = list(phones)
         return out
 
     def __call__(self, word: str) -> List[str]:

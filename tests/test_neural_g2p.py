@@ -171,6 +171,62 @@ def test_frontend_ladder(tmp_path, monkeypatch):
     assert proc_auto.neural_g2p is None
 
 
+def test_numpy_decode_matches_jax(tmp_path, tiny_model):
+    """The host NumPy inference path reproduces the jax greedy decode
+    token-for-token (same checkpoint, fp16 round trip on both sides)."""
+    model, params = tiny_model
+    path = tmp_path / "g2p.npz"
+    save_g2p(path, params, TINY)
+
+    words = ["cat", "dog", "zzyzx", "a", "supercal"]
+    chars = jnp.asarray(
+        [encode_word(w, TINY.max_word_len) for w in words], jnp.int32
+    )
+    restored, _, _ = load_g2p(path)
+    want = np.asarray(greedy_decode(model, restored, chars))
+
+    g = NeuralG2P(path)
+    assert g._load()
+    got = g._net.greedy_decode(np.asarray(chars))
+    # Early exit pads the tail with PAD; compare the full buffer.
+    np.testing.assert_array_equal(got, want)
+
+    # Logits agree numerically too (not just argmax).
+    enc, valid = g._net.encode(np.asarray(chars))
+    logits_np = g._net.decode_step(want, enc, valid)
+    logits_jax = model.apply(
+        restored, chars, jnp.asarray(want, jnp.int32)
+    )
+    np.testing.assert_allclose(
+        logits_np, np.asarray(logits_jax), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sentence_oov_prefetch_batches_one_dispatch():
+    """All OOV words of a sentence go through ONE predict_batch call; the
+    per-word ladder then serves from the memo cache."""
+    from iris_tts_tpu.text.frontend import TextProcessor
+
+    calls = []
+
+    class Spy:
+        def predict_batch(self, words):
+            calls.append(list(words))
+            return [["T", "EH", "S", "T"] for _ in words]
+
+        def __call__(self, word):
+            return self.predict_batch([word])[0]
+
+    proc = TextProcessor(neural_g2p=Spy())
+    out = proc.text_to_phonemes("hello zorblatt and quuxify")
+    # one batched prefetch containing exactly the two OOV words...
+    assert calls[0] == ["zorblatt", "quuxify"]
+    # ...then one per-word call each from the ladder (Spy has no cache; the
+    # real wrapper memoizes, which test_checkpoint_roundtrip covers).
+    assert out.split().count("EH") == 2  # one spy result per OOV word
+    assert "HH" in out  # in-lexicon "hello" untouched
+
+
 def test_train_script_smoke(tmp_path):
     """End-to-end CLI: tiny subsample, 2 epochs, checkpoint loads + decodes."""
     out = tmp_path / "g2p_tiny.npz"

@@ -44,6 +44,21 @@ def main() -> None:
     args = parser.parse_args()
     setup_logging()
 
+    if args.platforms:
+        # Cross-lowering is pure tracing + StableHLO serialization for the
+        # NAMED platforms — the host backend is irrelevant. Pin the host to
+        # CPU before any device use so an environment that pre-selects a
+        # hardware plugin (site customization) doesn't drag export through
+        # the remote compile service (measured: 409s -> seconds).
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            logger.info("cross-lowering for %s: host pinned to CPU",
+                        args.platforms)
+        except Exception:  # noqa: BLE001 — backend already initialized
+            pass
+
     if args.pipeline:
         pipe = TTSPipeline.load(args.pipeline)
     elif args.random_weights:

@@ -172,3 +172,26 @@ def load_audio(path: str | Path, sample_rate: int = 22050) -> np.ndarray:
     samples, sr = read_wav(path)
     samples = to_mono(samples)
     return resample(samples, sr, sample_rate)
+
+
+def join_wave_chunks(
+    outs, gap_ms: float, sample_rate: int
+) -> np.ndarray:
+    """Concatenate chunk waveforms with ``gap_ms`` of silence between them.
+
+    The single source of the long-form join policy, shared by
+    ``TTSPipeline.synthesize_long``, the serving batcher, and the AOT
+    serving path. The gap inherits the chunks' dtype so int16 (PCM16
+    transfer) audio is never silently promoted to float.
+    """
+    if len(outs) == 1:
+        return outs[0]
+    gap = np.zeros(
+        int(round(gap_ms / 1000.0 * sample_rate)), outs[0].dtype
+    )
+    joined = []
+    for i, a in enumerate(outs):
+        if i:
+            joined.append(gap)
+        joined.append(a)
+    return np.concatenate(joined)

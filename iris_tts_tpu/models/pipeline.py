@@ -799,20 +799,14 @@ class TTSPipeline:
     def join_chunks(self, outs: Sequence[np.ndarray],
                     gap_ms: float = 120.0) -> np.ndarray:
         """Concatenate chunk waveforms with ``gap_ms`` of silence between
-        them — the single source of the long-form join policy (shared by
-        :meth:`synthesize_long` and the serving batcher)."""
-        if len(outs) == 1:
-            return outs[0]
-        gap = np.zeros(
-            int(round(gap_ms / 1000.0 * self.config.audio.sample_rate)),
-            outs[0].dtype,  # float32 or the pcm16 transfer format
+        them (shared join policy: :func:`iris_tts_tpu.data.join_wave_chunks`,
+        used by :meth:`synthesize_long`, the serving batcher, and the AOT
+        serving path)."""
+        from iris_tts_tpu.data.audio_io import join_wave_chunks
+
+        return join_wave_chunks(
+            outs, gap_ms, self.config.audio.sample_rate
         )
-        joined = []
-        for i, a in enumerate(outs):
-            if i:
-                joined.append(gap)
-            joined.append(a)
-        return np.concatenate(joined)
 
     def stream(
         self,

@@ -37,6 +37,23 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# Executable calling convention version. Bump whenever the exported fn's
+# inputs/outputs change; loaders refuse mismatched artifacts with a clear
+# re-export message instead of an opaque arity error at dispatch time.
+# v2: inputs (ids, lengths, seed, temperature), outputs (audio, mel,
+#     n_frames, deficit).
+AOT_FORMAT_VERSION = 2
+
+
+def _check_format_version(manifest: Dict, path: Path) -> None:
+    got = manifest.get("format_version", 1)
+    if got != AOT_FORMAT_VERSION:
+        raise ValueError(
+            f"AOT artifact {path} has format_version={got}, this runtime "
+            f"expects {AOT_FORMAT_VERSION} — re-export with "
+            "scripts/export_serving.py"
+        )
+
 
 def export_pipeline(
     pipe,
@@ -70,6 +87,7 @@ def export_pipeline(
     phoneme_buckets = tuple(phoneme_buckets or pipe.phoneme_buckets)
 
     manifest: Dict = {
+        "format_version": AOT_FORMAT_VERSION,
         "sample_rate": pipe.config.audio.sample_rate,
         "samples_per_frame": pipe.config.hifigan.total_upsample,
         "entries": [],
@@ -132,6 +150,7 @@ class ExportedSynthesizer:
 
         path = Path(path)
         self.manifest = json.loads((path / "manifest.json").read_text())
+        _check_format_version(self.manifest, path)
         self.vocab = PhonemeVocab.load(path / "vocab.json")
         self.text_processor = text_processor or create_text_processor()
         self._fns: Dict[Tuple[int, int], Tuple] = {}
@@ -195,6 +214,7 @@ class AotPipeline:
 
         path = Path(path)
         self.manifest = json.loads((path / "manifest.json").read_text())
+        _check_format_version(self.manifest, path)
         self.vocab = PhonemeVocab.load(path / "vocab.json")
         self.text_processor = text_processor or create_text_processor()
         self.hop = int(self.manifest["samples_per_frame"])
@@ -229,20 +249,11 @@ class AotPipeline:
 
     def join_chunks(self, outs: Sequence[np.ndarray],
                     gap_ms: float = 120.0) -> np.ndarray:
-        if len(outs) == 1:
-            return outs[0]
-        gap = np.zeros(
-            int(round(
-                gap_ms / 1000.0 * self.config.audio.sample_rate
-            )),
-            np.float32,
+        from iris_tts_tpu.data.audio_io import join_wave_chunks
+
+        return join_wave_chunks(
+            outs, gap_ms, self.config.audio.sample_rate
         )
-        joined = []
-        for i, a in enumerate(outs):
-            if i:
-                joined.append(gap)
-            joined.append(a)
-        return np.concatenate(joined)
 
     def _pick(self, n_rows: int, max_len: int) -> Tuple[int, int]:
         """Smallest exported (B, P) bucket covering the request."""

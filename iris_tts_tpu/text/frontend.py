@@ -252,9 +252,9 @@ def chunk_text_by_phonemes(
 
         cur, cur_n = [], 0
         for w in sent.split():
+            wn = n_ids(w)
             parts = (
-                [(w, n_ids(w))] if n_ids(w) <= max_phonemes
-                else split_token(w)
+                [(w, wn)] if wn <= max_phonemes else split_token(w)
             )
             if len(parts) > 1:
                 logger.warning(

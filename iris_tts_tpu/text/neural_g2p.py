@@ -296,6 +296,12 @@ class NeuralG2P:
     make the frontend worse than rules-only.
     """
 
+    # Bounded memo (FIFO): the serving path feeds every OOV token from
+    # request traffic through here, so a hostile stream of distinct words
+    # must not grow memory unboundedly (same cap policy as
+    # TTSPipeline._ids_cache).
+    _CACHE_MAX = 4096
+
     def __init__(self, checkpoint: str | Path = DEFAULT_CHECKPOINT):
         self.checkpoint = Path(checkpoint)
         self._lock = threading.Lock()
@@ -381,6 +387,8 @@ class NeuralG2P:
                 if t == PHONE_EOS or t < N_SPECIAL:
                     break
                 phones.append(self._id_to_phone[int(t)])
+            if len(self._cache) >= self._CACHE_MAX:
+                self._cache.pop(next(iter(self._cache)))
             self._cache[w] = phones
             out[i] = list(phones)
         return out

@@ -63,12 +63,20 @@ _ROMAN_CARDINAL_CONTEXT = (
     "chapter|act|part|section|volume|book|war|grade|phase|stage|level|"
     "type|class|article|appendix|scene|quadrant|apollo|rocky"
 )
+# Context word matches any case; the numeral itself must be UPPERCASE
+# (scoped (?i:...) flag) — otherwise "class mix" would read MIX as 1009.
 _RE_ROMAN_CARDINAL = re.compile(
-    rf"\b({_ROMAN_CARDINAL_CONTEXT})\s+([IVXLCDM]{{1,8}})(?=\W|$)",
-    re.IGNORECASE,
+    rf"\b(?i:({_ROMAN_CARDINAL_CONTEXT}))\s+([IVXLCDM]{{1,8}})(?=\W|$)"
 )
 _RE_ROMAN_REGNAL = re.compile(
     r"\b([A-Z][a-z]{2,})\s+([IVXLCDM]{2,8})(?=\W|$)"
+)
+# Capitalized sentence-position words that precede acronyms like IV/XL/VI
+# without naming a monarch ("The IV drip", "His XL shirt").
+_REGNAL_STOPWORDS = frozenset(
+    "the this that these those his her its our their your some any each "
+    "every another with for and but nor was were has had who she him "
+    "they all not one two new old".split()
 )
 # "January 5" / "January 5, 1984" style dates → ordinal day reading.
 _RE_MONTH_DAY = re.compile(
@@ -93,14 +101,23 @@ def _expand_romans(text: str) -> str:
     )
 
     def cardinal(m: re.Match) -> str:
-        # The context word is the gate, so even "Chapter I" reads as
-        # "chapter one" (bare "I" elsewhere stays the pronoun).
-        n = roman_to_int(m.group(2).upper())
+        # The context word is the gate, so "Chapter I" reads as "chapter
+        # one" — but a bare "I" continuing into another word is almost
+        # always the pronoun ("after the war I went home"), so "I" only
+        # counts before punctuation/end or "of" ("Part I of the trilogy").
+        numeral = m.group(2)
+        if numeral == "I":
+            tail = m.string[m.end():]
+            if re.match(r"\s+(?!of\b)\w", tail):
+                return m.group(0)
+        n = roman_to_int(numeral)
         if n is None:
             return m.group(0)
         return f"{m.group(1)} {number_to_words(n)}"
 
     def regnal(m: re.Match) -> str:
+        if m.group(1).lower() in _REGNAL_STOPWORDS:
+            return m.group(0)  # "The IV drip" — not a monarch
         n = roman_to_int(m.group(2))
         if n is None or n > 50:  # Henry VIII yes, NASDAQ CM no
             return m.group(0)

@@ -233,9 +233,28 @@ _RE_ORDINAL = re.compile(r"\b(\d+)(st|nd|rd|th)\b")
 # like 3/4/1999)
 _RE_MIXED = re.compile(r"\b(\d+)\s+(\d{1,2})\s?/\s?(\d{1,3})\b(?!\s?/)")
 _RE_FRACTION = re.compile(r"(?<![\d/])\b(\d{1,3})\s?/\s?(\d{1,3})\b(?!\s?/)")
+# ISO dates ("2020-08-17") verbalize as month-day-year, matched before the
+# range/year/int rules would shred them.
+_RE_ISO_DATE = re.compile(
+    r"\b(1[89]\d\d|20\d\d)-(0?[1-9]|1[0-2])-(0?[1-9]|[12]\d|3[01])\b(?!-)"
+)
+_MONTH_NAMES = (
+    "january", "february", "march", "april", "may", "june", "july",
+    "august", "september", "october", "november", "december",
+)
+# Telephone shapes ("555-1234", "212-555-1234", "212.555.1234"): NANP
+# digit-by-digit reading, matched before the range rule.
+_RE_PHONE = re.compile(
+    r"\b(?:(\d{3})[-. ])?(\d{3})[-.](\d{4})\b(?![-.\d])"
+)
+
 # "10-20", "1914–1918": a range only when low < high (so phone-number-like
-# strings fall through to plain number reading)
-_RE_RANGE = re.compile(r"\b(\d{1,4})\s?[-–]\s?(\d{1,4})\b(?![-–\d])")
+# strings fall through to plain number reading). Guarded on BOTH edges
+# against digit/hyphen/slash neighbours so the "08-17" tail of an ISO date
+# ("2020-08-17") or a phone fragment never reads as a range.
+_RE_RANGE = re.compile(
+    r"(?<![\d\-–/.:])\b(\d{1,4})\s?[-–]\s?(\d{1,4})\b(?![-–\d])"
+)
 _RE_DECIMAL = re.compile(r"\b(\d+)\.(\d+)\b")
 _RE_YEAR = re.compile(r"\b(1[1-9]\d\d|20\d\d)s?\b")
 _RE_INT = re.compile(r"\b\d[\d,]*\b")
@@ -243,13 +262,21 @@ _RE_INT = re.compile(r"\b\d[\d,]*\b")
 _AMPM = {"a": "ay em", "p": "pee em"}
 
 
-def _amount_words(amount: str, plural_test=None) -> str:
+def _amount_words(amount: str) -> str:
     """Cardinal or decimal reading of a digit string (commas stripped)."""
     amount = amount.replace(",", "")
     if "." in amount:
         w, f = amount.split(".")
         return decimal_to_words(w, f)
     return number_to_words(int(amount))
+
+
+def _is_one(amount: str) -> bool:
+    """Singular test for unit/degree agreement ("1", "1.0", "1.00", ...)."""
+    try:
+        return float(amount.replace(",", "")) == 1.0
+    except ValueError:
+        return False
 
 
 def _is_year(n: int) -> bool:
@@ -286,13 +313,14 @@ def expand_numbers(text: str) -> str:
     def _unit(m: re.Match) -> str:
         amount = m.group(1).replace(",", "")
         singular, plural = _UNITS[m.group(2).lower()]
-        is_one = amount in ("1", "1.0")
-        return _amount_words(amount) + " " + (singular if is_one else plural)
+        return _amount_words(amount) + " " + (
+            singular if _is_one(amount) else plural
+        )
 
     def _degrees(m: re.Match) -> str:
         amount = m.group(1).replace(",", "")
         scale = {"C": " celsius", "F": " fahrenheit"}.get(m.group(2) or "", "")
-        deg = "degree" if amount in ("1", "1.0") else "degrees"
+        deg = "degree" if _is_one(amount) else "degrees"
         return _amount_words(amount) + f" {deg}{scale}"
 
     def _ordinal(m: re.Match) -> str:
@@ -312,6 +340,15 @@ def expand_numbers(text: str) -> str:
         if den == 0:
             return m.group(0)
         return fraction_to_words(num, den)
+
+    def _iso_date(m: re.Match) -> str:
+        month = _MONTH_NAMES[int(m.group(2)) - 1]
+        return (f"{month} {ordinal_to_words(int(m.group(3)))} "
+                f"{year_to_words(int(m.group(1)))}")
+
+    def _phone(m: re.Match) -> str:
+        digits = "".join(g for g in m.groups() if g)
+        return " ".join(number_to_words(int(d)) for d in digits)
 
     def _range(m: re.Match) -> str:
         lo, hi = int(m.group(1)), int(m.group(2))
@@ -343,6 +380,8 @@ def expand_numbers(text: str) -> str:
     text = _RE_UNIT.sub(_unit, text)
     text = _RE_DEGREES.sub(_degrees, text)
     text = _RE_ORDINAL.sub(_ordinal, text)
+    text = _RE_ISO_DATE.sub(_iso_date, text)
+    text = _RE_PHONE.sub(_phone, text)
     text = _RE_MIXED.sub(_mixed, text)
     text = _RE_FRACTION.sub(_fraction, text)
     text = _RE_RANGE.sub(_range, text)

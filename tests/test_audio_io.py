@@ -44,3 +44,25 @@ def test_read_rejects_non_wav(tmp_path):
     p.write_bytes(b"not a wav file at all")
     with pytest.raises(ValueError):
         audio_io.read_wav(p)
+
+
+def test_join_wave_chunks_preserves_dtype():
+    """The silence gap inherits the chunks' dtype — int16 PCM16 chunks must
+    never be promoted to float (review finding: the float32 gap pushed
+    int16-scale samples through the [-1,1] clip, emitting square waves)."""
+    import numpy as np
+
+    from iris_tts_tpu.data import join_wave_chunks
+
+    i16 = [np.full(100, 20000, np.int16), np.full(50, -15000, np.int16)]
+    out = join_wave_chunks(i16, gap_ms=10.0, sample_rate=22050)
+    assert out.dtype == np.int16
+    gap = int(round(0.010 * 22050))
+    assert out.shape == (150 + gap,)
+    assert out[:100].max() == 20000 and out[-50:].min() == -15000
+    assert (out[100:100 + gap] == 0).all()
+
+    f32 = [np.ones(10, np.float32), np.ones(10, np.float32)]
+    assert join_wave_chunks(f32, 10.0, 22050).dtype == np.float32
+    # single chunk: passthrough
+    assert join_wave_chunks([i16[0]], 10.0, 22050) is i16[0]

@@ -83,7 +83,9 @@ def _measure_cold_start() -> dict:
             "floor_s = time.time() - t0\n"
             "print(f'ENV_FLOOR_S={floor_s:.2f}')\n"
             "from iris_tts_tpu.serve import AotPipeline\n"
+            "t_d = time.time()\n"
             f"aot = AotPipeline({str(tmp / 'aot')!r})\n"
+            "print(f'DESERIALIZE_S={time.time() - t_d:.2f}')\n"
             "audio = aot.synthesize("
             "'The quick brown fox jumps over the lazy dog.', seed=0)\n"
             "assert audio.size > 0 and np.isfinite(audio).all()\n"
@@ -103,7 +105,7 @@ def _measure_cold_start() -> dict:
         for line in r.stdout.splitlines():
             if "=" in line:
                 k, _, v = line.partition("=")
-                if k in ("FIRST_AUDIO_S", "ENV_FLOOR_S"):
+                if k in ("FIRST_AUDIO_S", "ENV_FLOOR_S", "DESERIALIZE_S"):
                     marks[k] = float(v)
         first_audio_s = marks.get("FIRST_AUDIO_S", total_s)
         floor_s = marks.get("ENV_FLOOR_S", 0.0)
@@ -118,6 +120,9 @@ def _measure_cold_start() -> dict:
             "cold_start_to_first_audio_s": round(first_audio_s, 2),
             "cold_start_env_floor_s": round(floor_s, 2),
             "cold_start_framework_s": round(first_audio_s - floor_s, 2),
+            "cold_start_deserialize_s": round(
+                marks.get("DESERIALIZE_S", 0.0), 2
+            ),
             "aot_export_s": round(export_s, 2),
         }
     except Exception as e:  # noqa: BLE001 — never break the headline line

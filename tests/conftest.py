@@ -17,10 +17,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 # The environment may pre-import jax with JAX_PLATFORMS pinned to a hardware
 # plugin (site customization), so an env-var override is too late here —
 # force the CPU backend through the live config instead.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# IRIS_TEST_PLATFORM=native opts a run out of the pin (e.g. executing the
+# convergence suite on the real chip for on-hardware evidence); anything
+# else is used as the platform name (default cpu).
+_plat = os.environ.get("IRIS_TEST_PLATFORM", "cpu")
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if _plat != "native":
+    os.environ["JAX_PLATFORMS"] = _plat
+    jax.config.update("jax_platforms", _plat)
 
 # Persistent compilation cache: the large unrolled conv graphs (GAN
 # discriminators) take minutes to compile on CPU the first time; cached

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import logging
+import threading
 from pathlib import Path
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -273,17 +274,56 @@ class AotPipeline:
         )
         return b_bucket, p_bucket
 
-    def warmup(self) -> None:
-        """One dispatch per exported executable (pays each backend compile
-        before traffic arrives)."""
-        for (b, p), (exp, _e) in sorted(self._fns.items()):
-            ids = np.zeros((b, p), np.int32)
-            lengths = np.ones((b,), np.int32)
-            out = exp.call(
-                jnp.asarray(ids), jnp.asarray(lengths),
-                jnp.asarray(0, jnp.int32), jnp.asarray(1.0, jnp.float32),
-            )
-            jax.device_get(out[2])
+    def _warm_one(self, key) -> None:
+        b, p = key
+        exp, _e = self._fns[key]
+        ids = np.zeros((b, p), np.int32)
+        lengths = np.ones((b,), np.int32)
+        out = exp.call(
+            jnp.asarray(ids), jnp.asarray(lengths),
+            jnp.asarray(0, jnp.int32), jnp.asarray(1.0, jnp.float32),
+        )
+        jax.device_get(out[2])
+
+    def warmup(self, block: bool = True) -> None:
+        """Backend-compile the exported executables before traffic.
+
+        ``block=True``: one dispatch per executable, serially (boot cost =
+        sum of compiles). ``block=False`` (progressive): compile the
+        smallest bucket synchronously — the server can accept traffic the
+        moment one executable is live — and the rest on a daemon thread in
+        ascending size order; a request needing a not-yet-warm bucket just
+        pays that compile inline, exactly as it would with no warmup.
+        ``warm_all_done()`` reports completion (e.g. for /stats).
+        """
+        keys = sorted(self._fns)
+        self._warm_all = threading.Event()
+        if not keys:
+            self._warm_all.set()
+            return
+        self._warm_one(keys[0])
+        rest = keys[1:]
+        if block:
+            for k in rest:
+                self._warm_one(k)
+            self._warm_all.set()
+            return
+
+        def _bg():
+            for k in rest:
+                try:
+                    self._warm_one(k)
+                except Exception:  # noqa: BLE001 — requests retry inline
+                    logger.exception("background warmup of %s failed", k)
+            self._warm_all.set()
+
+        threading.Thread(
+            target=_bg, name="aot-warmup", daemon=True
+        ).start()
+
+    def warm_all_done(self) -> bool:
+        ev = getattr(self, "_warm_all", None)
+        return bool(ev.is_set()) if ev is not None else False
 
     def synthesize(self, text, seed=None, temperature: float = 1.0,
                    fused=None, return_mel: bool = False,

@@ -55,6 +55,10 @@ def main() -> None:
     parser.add_argument("--float_transfer", action="store_true",
                         help="fetch float32 audio instead of device-side "
                         "PCM16 (PCM16 halves the device→host bytes)")
+    parser.add_argument("--full_warmup", action="store_true",
+                        help="AOT path: compile every exported bucket "
+                        "before opening (default: smallest bucket only, "
+                        "rest in the background)")
     args = parser.parse_args()
     setup_logging()
 
@@ -74,10 +78,13 @@ def main() -> None:
                 args.max_batch, max(pipe.batch_buckets),
             )
             args.max_batch = max(pipe.batch_buckets)
-        # Backend-compile each pre-lowered executable once before traffic.
-        logger.info("AOT warmup (backend compile of %d executables)...",
-                    len(pipe._fns))
-        pipe.warmup()
+        # Backend-compile the pre-lowered executables before traffic.
+        # Progressive (default): the smallest bucket compiles synchronously
+        # and the server opens; the rest compile on a background thread.
+        logger.info("AOT warmup (backend compile of %d executables, "
+                    "%s)...", len(pipe._fns),
+                    "all up front" if args.full_warmup else "progressive")
+        pipe.warmup(block=args.full_warmup)
         logger.info("ready in %.1fs from pipeline load (AOT path)",
                     time.monotonic() - t0)
     elif args.pipeline or args.random_weights:

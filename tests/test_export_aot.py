@@ -226,3 +226,29 @@ def test_serve_cli_aot_boot(pipeline, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_progressive_warmup(pipeline, aot_dir_batched):
+    """warmup(block=False) returns after the smallest bucket compiles;
+    the remaining buckets warm on a daemon thread, and synthesis through
+    any bucket works throughout."""
+    import time
+
+    from iris_tts_tpu.serve import AotPipeline
+
+    aot = AotPipeline(aot_dir_batched,
+                      text_processor=pipeline.text_processor)
+    aot.warmup(block=False)
+    # Immediately serviceable (smallest bucket is warm; others compile
+    # inline if a request beats the background thread to them).
+    out = aot.synthesize("hello world", seed=3)
+    assert out.size > 0 and np.isfinite(out).all()
+    deadline = time.time() + 60
+    while not aot.warm_all_done() and time.time() < deadline:
+        time.sleep(0.05)
+    assert aot.warm_all_done()
+    # blocking warmup on a fresh instance: done synchronously
+    aot2 = AotPipeline(aot_dir_batched,
+                       text_processor=pipeline.text_processor)
+    aot2.warmup(block=True)
+    assert aot2.warm_all_done()

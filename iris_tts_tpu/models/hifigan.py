@@ -291,6 +291,41 @@ def hifigan_apply_fused(
     return jnp.tanh(x)[..., 0]
 
 
+def receptive_radius_frames(config: HiFiGANConfig = HiFiGANConfig()) -> int:
+    """Upper bound on the generator's receptive-field *radius*, in mel
+    frames: an output sample at time t depends only on mel frames within
+    ``radius`` of t / total_upsample.
+
+    This is what makes exact chunked (streaming) vocoding possible: a chunk
+    computed with ``radius`` frames of real context on each side is
+    bit-identical to the same region of a full-utterance pass — the network
+    is fully convolutional, so equality holds wherever every contributing
+    input frame (and layer-padding position) matches
+    (``TTSPipeline.vocode_streaming``).
+
+    Walks the ladder accumulating each layer's radius in output-sample
+    units: a dilated conv adds ``(k-1)//2 * d`` current-rate steps; a
+    transposed conv adds at most ``ceil(k/u)`` *input*-rate steps; MRF
+    branches run in parallel so their radius is the max over resblocks of
+    the summed sequential pairs. Default topology → 15 frames.
+    """
+    total_up = config.total_upsample
+    spu = total_up  # output samples per step at the current rate
+    r = 3 * spu  # conv_pre k=7
+    mrf = max(
+        sum((k - 1) // 2 * d + (k - 1) // 2 for d in dils)
+        for k, dils in zip(
+            config.resblock_kernel_sizes, config.resblock_dilations
+        )
+    )
+    for u, k in zip(config.upsample_rates, config.upsample_kernel_sizes):
+        r += -(-k // u) * spu  # transposed conv, in input-rate steps
+        spu //= u
+        r += mrf * spu
+    r += 3  # conv_post k=7 (spu == 1)
+    return -(-r // total_up)
+
+
 # ---------------------------------------------------------------------------
 # Convenience wrappers (API parity with the reference)
 # ---------------------------------------------------------------------------

@@ -142,6 +142,10 @@ class TTSPipeline:
         self._vocode = jax.jit(
             self._vocode_fn, static_argnames=("mrf_impl",)
         )
+        self._vocode_window = jax.jit(
+            self._vocode_window_fn,
+            static_argnames=("chunk_samples", "mrf_impl", "pcm16"),
+        )
         # Fused-path overflow observability (VERDICT r2 item 6): rows whose
         # predicted frames exceeded the phoneme-count budget (speech-rate
         # compression applied). Read by DynamicBatcher.stats().
@@ -497,6 +501,19 @@ class TTSPipeline:
     def _vocode_fn(self, params, mel, mrf_impl="xla"):
         return self._apply_hifigan(params, mel, mrf_impl)
 
+    def _vocode_window_fn(self, params, mel, start, *, chunk_samples,
+                          mrf_impl="xla", pcm16=False):
+        """Vocode one fixed-size mel window and return only the
+        ``chunk_samples`` keep-region starting at sample ``start`` (traced,
+        so every chunk position reuses ONE executable) — the device stage of
+        :meth:`vocode_streaming`. Slicing before the fetch keeps the
+        device→host transfer at chunk size, not window size."""
+        audio = self._apply_hifigan(params, mel, mrf_impl)
+        block = jax.lax.dynamic_slice_in_dim(
+            audio, start, chunk_samples, axis=1
+        )
+        return self._maybe_pcm16(block, pcm16)
+
     # ------------------------------------------------------------------
     # host-side API
     # ------------------------------------------------------------------
@@ -755,6 +772,83 @@ class TTSPipeline:
         audio = self._vocode(self.params, mel, mrf_impl=self.mrf_impl)
         audio_np = np.asarray(audio, np.float32)
         return audio_np[0] if squeeze else audio_np
+
+    def vocode_streaming(
+        self,
+        mel,
+        chunk_frames: int = 256,
+        context_frames: Optional[int] = None,
+        pcm16: bool = False,
+    ):
+        """Log-mel → waveform as a stream of chunks, O(chunk) device memory.
+
+        Yields ``chunk_frames * 256`` samples at a time (last chunk
+        shorter); the concatenation equals :meth:`vocode` of the full mel
+        **exactly** — each chunk is computed from a window carrying
+        ``context_frames`` of real context per side (default: the
+        generator's receptive-field radius,
+        :func:`~iris_tts_tpu.models.hifigan.receptive_radius_frames`), and
+        windows touching the true mel boundaries are aligned to them so the
+        layer zero-padding matches the full pass. The network being fully
+        convolutional makes interior samples bit-identical (pinned by
+        tests/test_stream_vocode.py).
+
+        Every chunk position reuses one fixed-shape executable, so
+        arbitrarily long mels vocode in bounded device memory without
+        recompiles — the vocoder-level complement of the sentence-level
+        :meth:`stream` (and the fix for the reference's
+        filter-long-audio-out approach, SURVEY.md §5). ``pcm16`` quantizes
+        on device and halves the transfer, as in :meth:`synthesize`.
+        """
+        mel = np.asarray(mel, np.float32)
+        if mel.ndim != 2:
+            raise ValueError("vocode_streaming takes one [T, n_mels] mel")
+        n_mels = self.config.hifigan.in_channels
+        if mel.shape[-1] != n_mels:
+            if mel.shape[0] != n_mels:
+                raise ValueError(
+                    f"mel shape {mel.shape} has no {n_mels}-sized axis"
+                )
+            mel = mel.T  # reference layout [n_mels, T] in
+        t = mel.shape[0]
+        if t == 0:
+            return
+        up = self.config.hifigan.total_upsample
+        if context_frames is None:
+            from iris_tts_tpu.models.hifigan import receptive_radius_frames
+
+            context_frames = receptive_radius_frames(self.config.hifigan)
+        window = chunk_frames + 2 * context_frames
+        if t <= window:
+            # Too short to split: one exact whole-mel dispatch.
+            audio = self.vocode(mel)
+            if pcm16:
+                audio = (
+                    np.clip(audio, -1.0, 1.0) * 32767.0
+                ).astype(np.int16)
+            yield audio
+            return
+        chunk_samples = chunk_frames * up
+        for a in range(0, t, chunk_frames):
+            b = min(a + chunk_frames, t)
+            # Clamp the window inside the mel: a boundary window's edge IS
+            # the true edge, so conv padding matches the full pass there.
+            w0 = min(max(a - context_frames, 0), t - window)
+            start = (a - w0) * up
+            # dynamic_slice needs start + chunk_samples <= window samples;
+            # over-left-shift and trim the difference on the host.
+            start_cl = min(start, (window - chunk_frames) * up)
+            block = self._vocode_window(
+                self.params,
+                jnp.asarray(mel[w0 : w0 + window])[None],
+                jnp.asarray(start_cl, jnp.int32),
+                chunk_samples=chunk_samples,
+                mrf_impl=self.mrf_impl,
+                pcm16=pcm16,
+            )
+            block_np = np.asarray(jax.device_get(block))[0]
+            off = start - start_cl
+            yield block_np[off : off + (b - a) * up]
 
     def _chunk_long_text(self, text: str, max_phonemes: int) -> list:
         """Sentence-pack ``text`` into <= ``max_phonemes``-id chunks (the

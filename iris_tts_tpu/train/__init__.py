@@ -15,9 +15,11 @@ from iris_tts_tpu.train.steps import (
     make_vae_eval_step,
     make_vae_recon_step,
     make_vae_train_step,
+    split_microbatches,
 )
 
 __all__ = [
+    "split_microbatches",
     "make_gan_steps",
     "TrainLoop",
     "resume_if_available",

@@ -36,6 +36,11 @@ class TrainState:
     # Frozen companion params (e.g. pretrained encoder during VAE training,
     # reference train_vae.py:188-208). Not touched by the optimizer.
     frozen: Any = None
+    # Exponential moving average of params (ema ← d·ema + (1−d)·params after
+    # every update). None = disabled. Standard for GAN vocoder fine-tuning:
+    # the averaged generator is what ships, the raw one keeps training.
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
     def create(
@@ -45,7 +50,11 @@ class TrainState:
         rng: jax.Array,
         batch_stats: Any = None,
         frozen: Any = None,
+        ema_decay: Optional[float] = None,
     ) -> "TrainState":
+        """``ema_decay`` (e.g. 0.999) enables EMA tracking, seeded with a
+        copy of ``params``. Checkpoints carry the average (it is part of the
+        state pytree), so resume keeps it bit-exact like everything else."""
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -53,6 +62,8 @@ class TrainState:
             rng=rng,
             batch_stats=batch_stats,
             frozen=frozen,
+            ema_params=params if ema_decay else None,
+            ema_decay=float(ema_decay or 0.0),
             tx=tx,
         )
 
@@ -62,6 +73,13 @@ class TrainState:
         )
         new_params = optax.apply_updates(self.params, updates)
         new_rng, _ = jax.random.split(self.rng)
+        if self.ema_params is not None and "ema_params" not in changes:
+            d = self.ema_decay
+            changes["ema_params"] = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                self.ema_params,
+                new_params,
+            )
         return self.replace(
             step=self.step + 1,
             params=new_params,
@@ -69,6 +87,12 @@ class TrainState:
             rng=new_rng,
             **changes,
         )
+
+    @property
+    def serving_params(self) -> Any:
+        """What inference should load: the EMA average when tracked, the raw
+        params otherwise."""
+        return self.ema_params if self.ema_params is not None else self.params
 
 
 def adam_clipped(

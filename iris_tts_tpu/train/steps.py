@@ -41,11 +41,68 @@ StepFn = Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, Any]]]
 
 
 # ---------------------------------------------------------------------------
+# Gradient accumulation
+# ---------------------------------------------------------------------------
+
+
+def split_microbatches(batch: Batch, accum_steps: int) -> Batch:
+    """Reshape a ``[accum·B, ...]`` host batch into the ``[accum, B, ...]``
+    layout the accumulating step functions scan over."""
+    def split(x):
+        if x.shape[0] % accum_steps:
+            raise ValueError(
+                f"batch dim {x.shape[0]} not divisible by "
+                f"accum_steps={accum_steps}"
+            )
+        return x.reshape(accum_steps, x.shape[0] // accum_steps, *x.shape[1:])
+
+    return jax.tree.map(split, batch)
+
+
+def _accumulated_grads(loss_grad, params, batch, accum_steps: int):
+    """Scan ``loss_grad(params, microbatch, i) → (metrics, grads)`` over the
+    leading microbatch axis, averaging both. One live microbatch of
+    activations at a time: the effective batch ``accum·B`` trains in the
+    device memory of ``B`` (each per-microbatch masked mean gets equal
+    weight, the standard accumulation convention)."""
+    micro0 = jax.tree.map(lambda x: x[0], batch)
+    m_struct = jax.eval_shape(
+        lambda p, mb: loss_grad(p, mb, 0)[0], params, micro0
+    )
+    zeros = (
+        jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m_struct),
+        jax.tree.map(jnp.zeros_like, params),
+    )
+
+    def body(carry, xs):
+        i, mb = xs
+        m, g = loss_grad(params, mb, i)
+        return (
+            jax.tree.map(jnp.add, carry[0], m),
+            jax.tree.map(jnp.add, carry[1], g),
+        ), None
+
+    (m_sum, g_sum), _ = jax.lax.scan(
+        body, zeros, (jnp.arange(accum_steps), batch)
+    )
+    inv = 1.0 / accum_steps
+    return (
+        jax.tree.map(lambda x: x * inv, m_sum),
+        jax.tree.map(lambda x: x * inv, g_sum),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stage 1: encoder + duration head (reference: scripts/train_encoder.py)
 # ---------------------------------------------------------------------------
 
 
-def make_duration_train_step(cfg: IrisConfig) -> StepFn:
+def make_duration_train_step(
+    cfg: IrisConfig, accum_steps: int = 1
+) -> StepFn:
+    """``accum_steps > 1``: the step takes batches shaped ``[accum, B, ...]``
+    (see :func:`split_microbatches`) and accumulates gradients over the
+    microbatches before the single optimizer update."""
     encoder = PhonemeEncoder(config=cfg.encoder)
     head = DurationPredictor(config=cfg.duration)
     delta = cfg.train.duration_huber_delta
@@ -75,8 +132,20 @@ def make_duration_train_step(cfg: IrisConfig) -> StepFn:
 
     def step(state: TrainState, batch: Batch):
         dropout_rng = jax.random.fold_in(state.rng, state.step)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, dropout_rng
+        if accum_steps == 1:
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, batch, dropout_rng)
+            return state.apply_gradients(grads), metrics
+
+        def loss_grad(params, mb, i):
+            (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mb, jax.random.fold_in(dropout_rng, i)
+            )
+            return m, g
+
+        metrics, grads = _accumulated_grads(
+            loss_grad, state.params, batch, accum_steps
         )
         return state.apply_gradients(grads), metrics
 
@@ -132,7 +201,11 @@ def _frame_condition(encoder, frozen, batch):
     return cond, frame_mask
 
 
-def make_vae_train_step(cfg: IrisConfig) -> StepFn:
+def make_vae_train_step(cfg: IrisConfig, accum_steps: int = 1) -> StepFn:
+    """``accum_steps > 1``: batches arrive ``[accum, B, ...]`` and gradients
+    accumulate across microbatches (one optimizer update, one live
+    microbatch of WaveNet activations at a time — the VAE stage is the
+    memory-heavy one, so this is where large effective batches need it)."""
     encoder = PhonemeEncoder(config=cfg.encoder)
     vae = TextConditionedVAE(config=cfg.vae)
     down_factor = cfg.vae.down_factor
@@ -155,8 +228,21 @@ def make_vae_train_step(cfg: IrisConfig) -> StepFn:
 
     def step(state: TrainState, batch: Batch, kl_weight: jnp.ndarray):
         rng = jax.random.fold_in(state.rng, state.step)
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.frozen, batch, rng, kl_weight
+        if accum_steps == 1:
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.frozen, batch, rng, kl_weight)
+            return state.apply_gradients(grads), metrics
+
+        def loss_grad(params, mb, i):
+            (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, state.frozen, mb,
+                jax.random.fold_in(rng, i), kl_weight,
+            )
+            return m, g
+
+        metrics, grads = _accumulated_grads(
+            loss_grad, state.params, batch, accum_steps
         )
         return state.apply_gradients(grads), metrics
 

@@ -46,6 +46,11 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     add_common_args(parser)
     parser.add_argument("--max_phoneme_length", type=int, default=256)
+    parser.add_argument(
+        "--accum_steps", type=int, default=1,
+        help="gradient-accumulation microbatches per optimizer update "
+        "(effective batch = accum_steps * batch_size)",
+    )
     args = parser.parse_args()
     setup_logging(args.verbose)
     cfg = resolve_config(args)
@@ -76,7 +81,7 @@ def main() -> None:
     )["params"]
 
     batcher = BucketedBatcher(
-        train_ds, cfg.train.batch_size, with_mel=False,
+        train_ds, cfg.train.batch_size * args.accum_steps, with_mel=False,
         seed=cfg.train.seed,
     )
     val_batcher = BucketedBatcher(
@@ -99,9 +104,22 @@ def main() -> None:
     )
     state, start_epoch = resume_if_available(ckpt, template, steps_per_epoch)
 
+    raw_step = jax.jit(
+        make_duration_train_step(cfg, accum_steps=args.accum_steps)
+    )
+    if args.accum_steps > 1:
+        from iris_tts_tpu.train import split_microbatches
+
+        def train_step(state, batch, *extras):
+            return raw_step(
+                state, split_microbatches(batch, args.accum_steps), *extras
+            )
+    else:
+        train_step = raw_step
+
     loop = TrainLoop(
         state=state,
-        train_step=jax.jit(make_duration_train_step(cfg)),
+        train_step=train_step,
         batcher=batcher,
         num_epochs=cfg.train.num_epochs,
         checkpoints=ckpt,

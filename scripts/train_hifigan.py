@@ -99,6 +99,12 @@ def main() -> None:
     parser.add_argument("--periods", type=int, nargs="+",
                         default=[2, 3, 5, 7, 11])
     parser.add_argument("--num_scales", type=int, default=3)
+    parser.add_argument(
+        "--ema_decay", type=float, default=0.0,
+        help="exponential-moving-average decay for the generator params "
+        "(e.g. 0.999); the averaged generator is what the checkpoint's "
+        "serving_params exposes, 0 disables",
+    )
     args = parser.parse_args()
     setup_logging(args.verbose)
     cfg = resolve_config(args)
@@ -144,7 +150,9 @@ def main() -> None:
             optax.adam(cfg.train.learning_rate, b1=0.8, b2=0.99),
         )
 
-    gen_state = TrainState.create(p_gen, tx(), k_g)
+    gen_state = TrainState.create(
+        p_gen, tx(), k_g, ema_decay=args.ema_decay or None
+    )
     disc_state = TrainState.create(p_disc, tx(), k_d)
 
     disc_step, gen_step = make_gan_steps(

@@ -64,6 +64,12 @@ def main() -> None:
         help="stage-1 checkpoint dir (default: <output_dir>/encoder/checkpoints)",
     )
     parser.add_argument("--max_frames", type=int, default=2048)
+    parser.add_argument(
+        "--accum_steps", type=int, default=1,
+        help="gradient-accumulation microbatches per optimizer update: the "
+        "effective batch is accum_steps * batch_size in the device memory "
+        "of one batch_size (train.steps.split_microbatches)",
+    )
     args = parser.parse_args()
     setup_logging(args.verbose)
     if args.encoder_checkpoint is None:
@@ -103,7 +109,7 @@ def main() -> None:
     )["params"]
 
     batcher = BucketedBatcher(
-        train_ds, cfg.train.batch_size, with_mel=True,
+        train_ds, cfg.train.batch_size * args.accum_steps, with_mel=True,
         down_factor=cfg.vae.down_factor, seed=cfg.train.seed,
     )
     val_batcher = BucketedBatcher(
@@ -136,9 +142,20 @@ def main() -> None:
             ),
         )
 
+    raw_step = jax.jit(make_vae_train_step(cfg, accum_steps=args.accum_steps))
+    if args.accum_steps > 1:
+        from iris_tts_tpu.train import split_microbatches
+
+        def train_step(state, batch, *extras):
+            return raw_step(
+                state, split_microbatches(batch, args.accum_steps), *extras
+            )
+    else:
+        train_step = raw_step
+
     loop = TrainLoop(
         state=state,
-        train_step=jax.jit(make_vae_train_step(cfg)),
+        train_step=train_step,
         batcher=batcher,
         num_epochs=cfg.train.num_epochs,
         checkpoints=ckpt,

@@ -219,3 +219,107 @@ def test_preemption_checkpoints_and_resumes(rng, tmp_path):
 
     # The loop restored its default signal disposition.
     assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
+def test_grad_accumulation_matches_full_batch(rng):
+    """accum_steps=2 over two half-batches == one full-batch step, when
+    dropout is off and masks weight each microbatch equally."""
+    import dataclasses
+
+    from iris_tts_tpu.train import split_microbatches
+
+    import optax
+
+    cfg = dataclasses.replace(
+        CFG,
+        encoder=dataclasses.replace(CFG.encoder, dropout=0.0),
+        duration=dataclasses.replace(CFG.duration, dropout=0.0),
+    )
+    key = jax.random.PRNGKey(3)
+    # SGD, not Adam: Adam's first-step update is ~lr·sign(g), which
+    # amplifies float-ulp gradient differences into visible param deltas;
+    # SGD keeps the comparison linear in the (identical) gradients.
+    state0 = TrainState.create(
+        _init_duration_state(key).params, optax.sgd(1e-2), key
+    )
+    batch = _duration_batch(rng)
+
+    full_step = jax.jit(make_duration_train_step(cfg))
+    state_full, m_full = full_step(state0, batch)
+
+    accum_step = jax.jit(make_duration_train_step(cfg, accum_steps=2))
+    state_acc, m_acc = accum_step(state0, split_microbatches(batch, 2))
+
+    np.testing.assert_allclose(
+        float(m_acc["duration_loss"]), float(m_full["duration_loss"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_acc.params),
+        jax.tree_util.tree_leaves(state_full.params),
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_split_microbatches_shape_and_validation(rng):
+    from iris_tts_tpu.train import split_microbatches
+
+    batch = _duration_batch(rng)
+    mb = split_microbatches(batch, 2)
+    assert mb["phoneme_ids"].shape == (2, B // 2, P)
+    np.testing.assert_array_equal(
+        mb["phoneme_ids"].reshape(B, P), batch["phoneme_ids"]
+    )
+    with np.testing.assert_raises(ValueError):
+        split_microbatches(batch, 3)
+
+
+def test_vae_accumulated_step_runs(rng):
+    key = jax.random.PRNGKey(4)
+    enc = PhonemeEncoder(config=CFG.encoder)
+    vae = TextConditionedVAE(config=CFG.vae)
+    ids = jnp.zeros((1, P), jnp.int32)
+    p_enc = enc.init(key, ids)["params"]
+    p_vae = vae.init(
+        {"params": key, "sample": key},
+        jnp.zeros((1, T, CFG.vae.n_mels)),
+        jnp.zeros((1, T, CFG.vae.cond_dim)),
+    )["params"]
+    state = TrainState.create(
+        p_vae, adam_clipped(1e-3), key, frozen={"encoder": p_enc}
+    )
+    from iris_tts_tpu.train import split_microbatches
+
+    step = jax.jit(make_vae_train_step(CFG, accum_steps=2))
+    batch = split_microbatches(_vae_batch(rng), 2)
+    state, metrics = step(state, batch, jnp.asarray(0.01))
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["total"]))
+
+
+def test_ema_tracking_and_serving_params(rng):
+    key = jax.random.PRNGKey(5)
+    state = _init_duration_state(key)
+    # No EMA by default: serving_params is just params.
+    assert state.ema_params is None
+    assert state.serving_params is state.params
+
+    ema_state = TrainState.create(
+        state.params, adam_clipped(1e-2), key, ema_decay=0.5
+    )
+    step = jax.jit(make_duration_train_step(CFG))
+    batch = _duration_batch(rng)
+    p0 = ema_state.params
+    s1, _ = step(ema_state, batch)
+    s2, _ = step(s1, batch)
+    # ema after 2 steps = .5(.5 p0 + .5 p1) + .5 p2, leafwise.
+    expect = jax.tree.map(
+        lambda a, b, c: 0.5 * (0.5 * a + 0.5 * b) + 0.5 * c,
+        p0, s1.params, s2.params,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s2.ema_params),
+        jax.tree_util.tree_leaves(expect),
+    ):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7)
+    assert s2.serving_params is s2.ema_params

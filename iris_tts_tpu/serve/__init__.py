@@ -4,7 +4,11 @@ New functionality beyond the reference (whose only inference entry is the
 one-shot scripts/synthesize.py CLI, reference scripts/synthesize.py:64-220).
 """
 
-from iris_tts_tpu.serve.batcher import BatchItem, DynamicBatcher
+from iris_tts_tpu.serve.batcher import (
+    BatchItem,
+    DynamicBatcher,
+    ServerOverloadedError,
+)
 from iris_tts_tpu.serve.export import (
     AotPipeline,
     ExportedSynthesizer,
@@ -16,6 +20,7 @@ __all__ = [
     "AotPipeline",
     "BatchItem",
     "DynamicBatcher",
+    "ServerOverloadedError",
     "ExportedSynthesizer",
     "TTSServer",
     "export_pipeline",

@@ -41,6 +41,14 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+class ServerOverloadedError(RuntimeError):
+    """Raised by :meth:`DynamicBatcher.submit` when the request queue is at
+    its depth limit — backpressure, mapped to HTTP 503 by the server. Under
+    sustained overload, rejecting at admission keeps latency bounded for
+    the requests already queued instead of growing the queue (and every
+    request's wait) without limit."""
+
+
 def _fail(fut: "Future", exc: BaseException) -> None:
     """set_exception tolerant of already-resolved futures (shutdown races)."""
     try:
@@ -83,7 +91,8 @@ class DynamicBatcher:
     def __init__(self, pipeline, max_batch: int = 8,
                  max_wait_ms: float = 5.0, gap_ms: float = 120.0,
                  max_chunks_per_request: int = 64,
-                 pcm16_transfer: bool = False):
+                 pcm16_transfer: bool = False,
+                 max_queue: int = 256):
         self._pipe = pipeline
         # Device-side int16 quantization before the fetch (halves transfer
         # bytes; waveforms resolve as int16 — exactly the bytes the HTTP
@@ -93,6 +102,11 @@ class DynamicBatcher:
         self._max_wait_s = max_wait_ms / 1000.0
         self._gap_ms = gap_ms
         self._max_chunks = max_chunks_per_request
+        # Queue-depth admission limit (see ServerOverloadedError). The
+        # queue itself stays unbounded so stop()'s sentinel never blocks;
+        # submit() enforces the limit.
+        self._max_queue = max(1, max_queue)
+        self.n_rejected = 0
         self._queue: "queue.Queue[Optional[BatchItem]]" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
         self._started = False
@@ -130,6 +144,12 @@ class DynamicBatcher:
         """
         if self._stopping.is_set():
             raise RuntimeError("batcher is stopped")
+        if self._queue.qsize() >= self._max_queue:
+            self.n_rejected += 1
+            raise ServerOverloadedError(
+                f"request queue at its {self._max_queue}-request limit; "
+                "retry later"
+            )
         temperature = float(temperature)
         if seed is not None:
             seed = int(seed)
@@ -346,6 +366,8 @@ class DynamicBatcher:
         return {
             "requests": self.n_requests,
             "batches": self.n_batches,
+            "queue_depth": self._queue.qsize(),
+            "rejected": self.n_rejected,
             "mean_batch_size": (
                 self.n_requests / self.n_batches if self.n_batches else 0.0
             ),

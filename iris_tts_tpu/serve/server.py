@@ -23,7 +23,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
-from iris_tts_tpu.serve.batcher import DynamicBatcher
+from iris_tts_tpu.serve.batcher import DynamicBatcher, ServerOverloadedError
 
 logger = logging.getLogger(__name__)
 
@@ -75,6 +75,16 @@ class _Handler(BaseHTTPRequestHandler):
         except (json.JSONDecodeError, OSError):
             self._json(400, {"error": "invalid JSON"})
             return None
+
+    def _overloaded(self, e: Exception) -> None:
+        """503 + Retry-After: queue-depth backpressure (batcher.max_queue)."""
+        body = json.dumps({"error": str(e)}).encode()
+        self.send_response(503)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Retry-After", "1")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def _json(self, code: int, obj) -> None:
         body = json.dumps(obj).encode()
@@ -133,6 +143,9 @@ class _Handler(BaseHTTPRequestHandler):
             )
         except (TypeError, ValueError) as e:
             self._json(400, {"error": str(e)})
+            return
+        except ServerOverloadedError as e:  # backpressure → retryable 503
+            self._overloaded(e)
             return
         except Exception as e:  # noqa: BLE001 — server-side fault
             self._json(503 if "stopped" in str(e) else 500,
@@ -204,6 +217,9 @@ class _Handler(BaseHTTPRequestHandler):
         except (TypeError, ValueError) as e:  # client fault
             self._json(400, {"error": str(e)})
             return
+        except ServerOverloadedError as e:  # backpressure → retryable 503
+            self._overloaded(e)
+            return
         except Exception as e:  # noqa: BLE001 — server fault
             logger.exception("synthesize failed")
             self._json(503 if "stopped" in str(e) else 500,
@@ -229,10 +245,11 @@ class TTSServer:
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 8080,
                  max_batch: int = 8, max_wait_ms: float = 5.0,
                  request_timeout_s: float = 600.0,
-                 pcm16_transfer: bool = False):
+                 pcm16_transfer: bool = False,
+                 max_queue: int = 256):
         self.batcher = DynamicBatcher(
             pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms,
-            pcm16_transfer=pcm16_transfer,
+            pcm16_transfer=pcm16_transfer, max_queue=max_queue,
         )
         handler = type("BoundHandler", (_Handler,), {
             "batcher": self.batcher,
@@ -269,12 +286,14 @@ class TTSServer:
 def serve_forever(pipeline, host: str = "0.0.0.0", port: int = 8080,
                   max_batch: int = 8, max_wait_ms: float = 5.0,
                   request_timeout_s: float = 600.0,
-                  pcm16_transfer: bool = False) -> None:
+                  pcm16_transfer: bool = False,
+                  max_queue: int = 256) -> None:
     """Blocking entry point for CLI use (scripts/serve.py)."""
     server = TTSServer(pipeline, host=host, port=port, max_batch=max_batch,
                        max_wait_ms=max_wait_ms,
                        request_timeout_s=request_timeout_s,
-                       pcm16_transfer=pcm16_transfer)
+                       pcm16_transfer=pcm16_transfer,
+                       max_queue=max_queue)
     server.batcher.start()
     logger.info("serving on %s:%d", *server.httpd.server_address[:2])
     try:

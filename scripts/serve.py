@@ -49,6 +49,9 @@ def main() -> None:
     parser.add_argument("--max_batch", type=int, default=8)
     parser.add_argument("--max_wait_ms", type=float, default=5.0)
     parser.add_argument("--request_timeout_s", type=float, default=600.0)
+    parser.add_argument("--max_queue", type=int, default=256,
+                        help="queue-depth admission limit: requests past"
+                        " it get HTTP 503 + Retry-After (backpressure)")
     parser.add_argument("--mesh", action="store_true",
                         help="shard request batches data-parallel over all "
                         "visible devices (TTSPipeline.use_mesh)")
@@ -116,7 +119,8 @@ def main() -> None:
     serve_forever(pipe, host=args.host, port=args.port,
                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
                   request_timeout_s=args.request_timeout_s,
-                  pcm16_transfer=not args.float_transfer)
+                  pcm16_transfer=not args.float_transfer,
+                  max_queue=args.max_queue)
 
 
 if __name__ == "__main__":

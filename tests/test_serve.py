@@ -367,3 +367,23 @@ def test_pcm16_transfer_bitwise_matches_host_quantization(pipeline):
     assert got.dtype == np.int16
     want_f = pipeline.synthesize(["hello world"], seed=3, fused=False)[0]
     assert _pcm16le(got) == _pcm16le(want_f)
+
+
+def test_backpressure_rejects_at_queue_limit(pipeline):
+    """Submissions past max_queue raise ServerOverloadedError instead of
+    growing the queue without bound; stats expose depth + rejects."""
+    from iris_tts_tpu.serve import ServerOverloadedError
+
+    b = DynamicBatcher(pipeline, max_queue=2)  # NOT started: queue only fills
+    b.submit("one", seed=1)
+    b.submit("two", seed=2)
+    with pytest.raises(ServerOverloadedError):
+        b.submit("three", seed=3)
+    stats = b.stats()
+    assert stats["queue_depth"] == 2
+    assert stats["rejected"] == 1
+    # Draining (start + stop) completes the admitted work and the limit
+    # clears for subsequent batchers.
+    b.start()
+    b.stop(timeout=120)
+    assert b.stats()["queue_depth"] == 0

@@ -38,13 +38,22 @@ def make_gan_steps(
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11),
     num_scales: int = 3,
     disc_width: float = 1.0,
+    accum_steps: int = 1,
 ):
     """Returns (discriminator_step, generator_step).
 
     Each is ``(gen_state, disc_state, batch) → (new_state, metrics)`` for its
     own side; alternate them per batch as in the paper. ``periods`` /
     ``num_scales`` configure the MPD/MSD (defaults per arXiv:2010.05646).
+
+    ``accum_steps > 1``: batches arrive ``[accum, B, ...]``
+    (:func:`~iris_tts_tpu.train.steps.split_microbatches`) and each side
+    accumulates averaged gradients over the microbatches before its single
+    optimizer update — GAN fine-tuning holds generator + both discriminator
+    towers live, so this is where memory pressure peaks.
     """
+    from iris_tts_tpu.train.steps import _accumulated_grads
+
     gen = HiFiGANGenerator(config=cfg.hifigan)
     disc = HiFiGANDiscriminators(
         periods=periods, num_scales=num_scales, width=disc_width
@@ -66,9 +75,21 @@ def make_gan_steps(
     def disc_step(
         gen_state: TrainState, disc_state: TrainState, batch
     ) -> Tuple[TrainState, Dict]:
-        (_, metrics), grads = jax.value_and_grad(
-            disc_loss_fn, has_aux=True
-        )(disc_state.params, gen_state.params, batch)
+        if accum_steps == 1:
+            (_, metrics), grads = jax.value_and_grad(
+                disc_loss_fn, has_aux=True
+            )(disc_state.params, gen_state.params, batch)
+            return disc_state.apply_gradients(grads), metrics
+
+        def loss_grad(params, mb, _i):
+            (_, m), g = jax.value_and_grad(disc_loss_fn, has_aux=True)(
+                params, gen_state.params, mb
+            )
+            return m, g
+
+        metrics, grads = _accumulated_grads(
+            loss_grad, disc_state.params, batch, accum_steps
+        )
         return disc_state.apply_gradients(grads), metrics
 
     # -- generator ----------------------------------------------------------
@@ -97,9 +118,21 @@ def make_gan_steps(
     def gen_step(
         gen_state: TrainState, disc_state: TrainState, batch
     ) -> Tuple[TrainState, Dict]:
-        (_, metrics), grads = jax.value_and_grad(
-            gen_loss_fn, has_aux=True
-        )(gen_state.params, disc_state.params, batch)
+        if accum_steps == 1:
+            (_, metrics), grads = jax.value_and_grad(
+                gen_loss_fn, has_aux=True
+            )(gen_state.params, disc_state.params, batch)
+            return gen_state.apply_gradients(grads), metrics
+
+        def loss_grad(params, mb, _i):
+            (_, m), g = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+                params, disc_state.params, mb
+            )
+            return m, g
+
+        metrics, grads = _accumulated_grads(
+            loss_grad, gen_state.params, batch, accum_steps
+        )
         return gen_state.apply_gradients(grads), metrics
 
     return disc_step, gen_step

@@ -100,6 +100,11 @@ def main() -> None:
                         default=[2, 3, 5, 7, 11])
     parser.add_argument("--num_scales", type=int, default=3)
     parser.add_argument(
+        "--accum_steps", type=int, default=1,
+        help="gradient-accumulation microbatches per optimizer update on "
+        "both GAN sides (effective batch = accum_steps * batch_size)",
+    )
+    parser.add_argument(
         "--ema_decay", type=float, default=0.0,
         help="exponential-moving-average decay for the generator params "
         "(e.g. 0.999); the averaged generator is what the checkpoint's "
@@ -114,8 +119,8 @@ def main() -> None:
         cache_dir=args.cache_dir, audio=cfg.audio,
     )
     batcher = AudioSegmentBatcher(
-        ds, cfg.train.batch_size, args.segment_frames, cfg.audio,
-        seed=cfg.train.seed,
+        ds, cfg.train.batch_size * args.accum_steps, args.segment_frames,
+        cfg.audio, seed=cfg.train.seed,
     )
 
     key = jax.random.PRNGKey(cfg.train.seed)
@@ -157,7 +162,7 @@ def main() -> None:
 
     disc_step, gen_step = make_gan_steps(
         cfg, periods=tuple(args.periods), num_scales=args.num_scales,
-        disc_width=args.disc_width,
+        disc_width=args.disc_width, accum_steps=args.accum_steps,
     )
     disc_step = jax.jit(disc_step)
     gen_step = jax.jit(gen_step)
@@ -171,6 +176,10 @@ def main() -> None:
         rm = RunningMean()
         for batch in batcher.epoch(epoch):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if args.accum_steps > 1:
+                from iris_tts_tpu.train import split_microbatches
+
+                batch = split_microbatches(batch, args.accum_steps)
             disc_state, dm = disc_step(gen_state, disc_state, batch)
             gen_state, gm = gen_step(gen_state, disc_state, batch)
             rm.update({k: float(v) for k, v in {**dm, **gm}.items()})

@@ -153,3 +153,73 @@ def test_make_gan_steps_factory(rng):
     gen_state, gm = jax.jit(gen_step)(gen_state, disc_state, batch)
     for v in {**dm, **gm}.values():
         assert np.isfinite(float(v))
+
+
+def test_gan_accumulation_matches_full_batch(rng):
+    """accum_steps=2 over half-batches == one full-batch step on both GAN
+    sides (SGD keeps the comparison linear in the identical grads, as in
+    test_train_steps.py::test_grad_accumulation_matches_full_batch)."""
+    import optax
+
+    from iris_tts_tpu.train import split_microbatches
+
+    cfg = _CFG
+    key = jax.random.PRNGKey(5)
+    k_g, k_d = jax.random.split(key)
+    T = 16
+    hop = cfg.hifigan.total_upsample
+    gen = HiFiGANGenerator(config=cfg.hifigan)
+    disc = HiFiGANDiscriminators(periods=(2,), num_scales=1, width=0.05)
+    p_gen = jax.jit(gen.init)(
+        k_g, jnp.zeros((1, T, cfg.hifigan.in_channels))
+    )["params"]
+    p_disc = jax.jit(disc.init)(k_d, jnp.zeros((1, T * hop)))["params"]
+    batch = {
+        "mel": jnp.asarray(
+            rng.standard_normal((4, T, cfg.hifigan.in_channels)).astype(
+                np.float32
+            )
+        ),
+        "audio": jnp.asarray(
+            (0.1 * rng.standard_normal((4, T * hop))).astype(np.float32)
+        ),
+    }
+
+    def states():
+        return (
+            TrainState.create(p_gen, optax.sgd(1e-3), k_g),
+            TrainState.create(p_disc, optax.sgd(1e-3), k_d),
+        )
+
+    full_d, full_g = make_gan_steps(
+        cfg, periods=(2,), num_scales=1, disc_width=0.05
+    )
+    acc_d, acc_g = make_gan_steps(
+        cfg, periods=(2,), num_scales=1, disc_width=0.05, accum_steps=2
+    )
+
+    gen_state, disc_state = states()
+    disc_full, dm_full = jax.jit(full_d)(gen_state, disc_state, batch)
+    gen_full, gm_full = jax.jit(full_g)(gen_state, disc_full, batch)
+
+    mb = split_microbatches(batch, 2)
+    gen_state, disc_state = states()
+    disc_acc, dm_acc = jax.jit(acc_d)(gen_state, disc_state, mb)
+    gen_acc, gm_acc = jax.jit(acc_g)(gen_state, disc_acc, mb)
+
+    np.testing.assert_allclose(
+        float(dm_acc["disc_loss"]), float(dm_full["disc_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(gm_acc["gen_total"]), float(gm_full["gen_total"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(disc_acc.params),
+        jax.tree_util.tree_leaves(disc_full.params),
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gen_acc.params),
+        jax.tree_util.tree_leaves(gen_full.params),
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-6)

@@ -910,6 +910,7 @@ class TTSPipeline:
         gap_ms: float = 120.0,
         max_phonemes: Optional[int] = None,
         pcm16: bool = False,
+        vocode_chunk_frames: Optional[int] = None,
     ):
         """Incremental synthesis: yields waveform pieces (audio chunks
         interleaved with ``gap_ms`` silence) as they are computed.
@@ -921,6 +922,15 @@ class TTSPipeline:
         :meth:`synthesize_long` except that chunks here use per-chunk
         derived seeds (chunk i gets ``seed + i``) so the stream is
         reproducible chunk by chunk.
+
+        ``vocode_chunk_frames`` streams *within* each sentence too: the
+        acoustic stages produce the sentence mel, then audio flows in
+        ``vocode_chunk_frames``-frame pieces via :meth:`vocode_streaming`
+        (exact — the pieces concatenate to the full vocoder pass). First
+        audio then costs the acoustic dispatch plus ONE small vocoder
+        window instead of the whole fused synthesis, which wins when
+        sentences are long; for short sentences the extra per-chunk
+        dispatch round trips make the default whole-sentence mode faster.
         """
         if max_phonemes is None:
             max_phonemes = self.phoneme_buckets[-1]
@@ -935,13 +945,22 @@ class TTSPipeline:
         for i, chunk in enumerate(chunks):
             if i:
                 yield gap
-            yield self.synthesize(
-                chunk,
-                seed=None if base is None else base + i,
-                temperature=temperature,
-                fused=True,
-                pcm16=pcm16,
-            )
+            chunk_seed = None if base is None else base + i
+            if vocode_chunk_frames is not None:
+                mel = self.synthesize_mel(
+                    chunk, seed=chunk_seed, temperature=temperature
+                )
+                yield from self.vocode_streaming(
+                    mel, chunk_frames=vocode_chunk_frames, pcm16=pcm16
+                )
+            else:
+                yield self.synthesize(
+                    chunk,
+                    seed=chunk_seed,
+                    temperature=temperature,
+                    fused=True,
+                    pcm16=pcm16,
+                )
 
     def synthesize_to_file(
         self, text: str, path: str | Path, seed: Optional[int] = None

@@ -341,3 +341,32 @@ def test_stream_pcm16(pipeline):
                                   pcm16=True))
     assert all(p.dtype == np.int16 for p in pieces)
     assert sum(len(p) for p in pieces) > 0
+
+
+def test_stream_vocode_chunked(pipeline):
+    """vocode_chunk_frames: per-sentence audio arrives in fixed-size
+    pieces whose concatenation is the exact vocoder pass over that
+    sentence's mel (sub-sentence TTFA mode)."""
+    sent = "the quick brown fox jumps over the lazy dog."
+    text = " ".join([sent] * 4)
+    chunks = pipeline._chunk_long_text(text, pipeline.phoneme_buckets[-1])
+    assert len(chunks) >= 2
+    pieces = list(
+        pipeline.stream(text, seed=7, gap_ms=50.0, vocode_chunk_frames=8)
+    )
+    # More pieces than sentences: sentences stream in sub-chunks.
+    assert len(pieces) > 2 * len(chunks) - 1
+    # Reassemble per-sentence audio (split at the silence gaps).
+    gap = int(round(0.050 * pipeline.config.audio.sample_rate))
+    sentences, cur = [], []
+    for p in pieces:
+        if len(p) == gap and not p.any():
+            sentences.append(np.concatenate(cur))
+            cur = []
+        else:
+            cur.append(p)
+    sentences.append(np.concatenate(cur))
+    assert len(sentences) == len(chunks)
+    # Chunk 1's audio == vocode of its mel at the stream's derived seed.
+    mel = pipeline.synthesize_mel(chunks[1], seed=8)
+    np.testing.assert_array_equal(sentences[1], pipeline.vocode(mel))

@@ -157,6 +157,10 @@ def _to_savable(state: Any) -> Any:
             "rng": state.rng,
             "batch_stats": state.batch_stats,
             "frozen": state.frozen,
+            # EMA average (None when disabled): without this key a resumed
+            # GAN run would silently restart the average from the raw
+            # params while serving_params claims a warmed-up EMA.
+            "ema_params": state.ema_params,
         }
     return state
 

@@ -172,7 +172,31 @@ def main() -> None:
     disc_ckpt = CheckpointManager(out / "disc", cfg)
     writer = MetricsWriter(out / "metrics.csv")
 
-    for epoch in range(cfg.train.num_epochs):
+    # Full-state resume of BOTH sides (params+opt+RNG+EMA+epoch) — resuming
+    # a GAN from generator weights alone restarts the discriminator cold,
+    # which wrecks the adversarial balance (loop.resume_if_available is the
+    # single-state version of this).
+    start_epoch = 0
+    g_step, d_step = gen_ckpt.latest_step(), disc_ckpt.latest_step()
+    if g_step is not None and d_step is not None:
+        # min(): a kill between the two sequential saves can leave one side
+        # a save point ahead; resume from the last step BOTH sides have.
+        step = min(g_step, d_step)
+        gen_state = gen_ckpt.restore(gen_state, step=step)
+        disc_state = disc_ckpt.restore(disc_state, step=step)
+        start_epoch = int(gen_state.epoch)
+        logger.info(
+            "resumed GAN from step %d (epoch %d)",
+            int(gen_state.step), start_epoch,
+        )
+    elif g_step is not None or d_step is not None:
+        logger.warning(
+            "only one GAN side has a checkpoint (gen=%s disc=%s); "
+            "starting fresh — resuming half a GAN wrecks the adversarial "
+            "balance", g_step, d_step,
+        )
+
+    for epoch in range(start_epoch, cfg.train.num_epochs):
         rm = RunningMean()
         for batch in batcher.epoch(epoch):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -184,6 +208,9 @@ def main() -> None:
             gen_state, gm = gen_step(gen_state, disc_state, batch)
             rm.update({k: float(v) for k, v in {**dm, **gm}.items()})
         means = rm.means()
+        gen_state = gen_state.replace(
+            epoch=jnp.asarray(epoch + 1, jnp.int32)
+        )
         logger.info("epoch %d: %s", epoch + 1,
                     {k: round(v, 4) for k, v in means.items()})
         writer.write(int(gen_state.step), means)

@@ -53,6 +53,36 @@ def test_full_state_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_ema_params_survive_roundtrip(tmp_path):
+    """The EMA average is part of the saved state: a resumed GAN must not
+    silently restart the average from the raw params."""
+    key = jax.random.PRNGKey(0)
+    params = {"w": jax.random.normal(key, (4, 4)), "b": jnp.zeros((4,))}
+    state = _advance(
+        TrainState.create(params, adam_clipped(1e-3), key, ema_decay=0.9)
+    )
+    assert state.ema_params is not None
+    # EMA has diverged from raw params after 3 updates.
+    assert float(
+        jnp.abs(state.ema_params["w"] - state.params["w"]).max()
+    ) > 0
+    mgr = CheckpointManager(tmp_path / "ck")
+    mgr.save(int(state.step), state)
+
+    template = TrainState.create(
+        jax.tree.map(jnp.zeros_like, params), adam_clipped(1e-3), key,
+        ema_decay=0.9,
+    )
+    restored = mgr.restore(template)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.ema_params),
+        jax.tree_util.tree_leaves(state.ema_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert restored.serving_params is restored.ema_params
+    mgr.close()
+
+
 def test_best_tracking(tmp_path):
     mgr = CheckpointManager(tmp_path / "ck")
     s1 = _advance(_make_state(), 1)

@@ -22,11 +22,16 @@ import sys
 import time
 
 
-def _wait_for_tpu(max_wait_s: float = 300.0):
+def _wait_for_tpu(max_wait_s: float = None):
     """Retry the device claim (incl. late plugin re-registration) before
-    falling back to CPU."""
+    falling back to CPU. Default window 600 s (overridable via
+    IRIS_TPU_MAX_WAIT_S): tunnel outages measured on 2026-08-17 blocked a
+    single claim for ~25 min, so a short window turns a transient outage
+    into a misleading CPU-fallback headline number."""
     from iris_tts_tpu.utils.tpu import wait_for_devices
 
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("IRIS_TPU_MAX_WAIT_S", "600"))
     return wait_for_devices(max_wait_s, fall_back_to_cpu=True)
 
 
@@ -220,6 +225,10 @@ def main() -> None:
             "value": round(rtf, 2),
             "unit": "x_realtime",
             "vs_baseline": round(rtf / 50.0, 3),
+            # Not a chip number: the accelerator never became claimable
+            # inside the wait window (tunnel outage), so this run measured
+            # the CPU fallback. Compare TPU rounds to TPU rounds.
+            "device": "cpu_fallback",
         }))
         return
     # Fused single-dispatch path (pipeline._fused_fn): one device round trip

@@ -62,6 +62,8 @@ def export_pipeline(
     batch_sizes: Sequence[int] = (1, 8),
     phoneme_buckets: Optional[Sequence[int]] = None,
     platforms: Optional[Sequence[str]] = None,
+    vocode_chunk_frames: Optional[int] = None,
+    vocode_context_frames: Optional[int] = None,
 ) -> Path:
     """Serialize the pipeline's fused synthesis path per (B, P) bucket.
 
@@ -78,6 +80,12 @@ def export_pipeline(
             simply truncates less).
         platforms: lowering platforms (default: current backend). Pass
             ``["tpu"]`` on a CPU host to cross-lower for TPU serving.
+        vocode_chunk_frames: also export ONE streaming-vocoder window
+            executable (TTSPipeline.vocode_streaming's device stage) so the
+            artifact can turn arbitrarily long mels into audio in O(chunk)
+            memory with no Python model code
+            (:meth:`AotPipeline.vocode_streaming`). ``vocode_context_frames``
+            defaults to the generator's receptive-field radius.
     Returns:
         the artifact directory.
     """
@@ -91,6 +99,7 @@ def export_pipeline(
         "format_version": AOT_FORMAT_VERSION,
         "sample_rate": pipe.config.audio.sample_rate,
         "samples_per_frame": pipe.config.hifigan.total_upsample,
+        "n_mels": pipe.config.hifigan.in_channels,
         "entries": [],
     }
     for b in batch_sizes:
@@ -128,6 +137,44 @@ def export_pipeline(
             })
             logger.info("exported %s (T=%d, platforms=%s)",
                         name, t_bucket, exp.platforms)
+
+    if vocode_chunk_frames:
+        from iris_tts_tpu.models.hifigan import receptive_radius_frames
+
+        ctx = (
+            vocode_context_frames
+            if vocode_context_frames is not None
+            else receptive_radius_frames(pipe.config.hifigan)
+        )
+        window = int(vocode_chunk_frames) + 2 * int(ctx)
+        up = pipe.config.hifigan.total_upsample
+        chunk_samples = int(vocode_chunk_frames) * up
+
+        def vfn(mel, start):
+            return pipe._vocode_window_fn(
+                pipe.params, mel, start,
+                chunk_samples=chunk_samples, mrf_impl=pipe.mrf_impl,
+            )
+
+        vexp = jax_export.export(
+            jax.jit(vfn),
+            platforms=list(platforms) if platforms else None,
+        )(
+            jax.ShapeDtypeStruct(
+                (1, window, pipe.config.hifigan.in_channels), jnp.float32
+            ),
+            jax.ShapeDtypeStruct((), jnp.int32),
+        )
+        vname = f"vocwin_c{int(vocode_chunk_frames)}_x{int(ctx)}.shlo"
+        (path / vname).write_bytes(vexp.serialize())
+        manifest["vocode_window"] = {
+            "file": vname,
+            "chunk_frames": int(vocode_chunk_frames),
+            "context_frames": int(ctx),
+            "window_frames": window,
+            "platforms": list(vexp.platforms),
+        }
+        logger.info("exported %s (window=%d frames)", vname, window)
 
     pipe.vocab.save(path / "vocab.json")
     (path / "manifest.json").write_text(json.dumps(manifest, indent=2))
@@ -230,6 +277,13 @@ class AotPipeline:
         for e in self.manifest["entries"]:
             exp = jax_export.deserialize((path / e["file"]).read_bytes())
             self._fns[(e["batch"], e["phoneme_bucket"])] = (exp, e)
+        self._vocwin = None
+        vw = self.manifest.get("vocode_window")
+        if vw:
+            self._vocwin = (
+                jax_export.deserialize((path / vw["file"]).read_bytes()),
+                vw,
+            )
         self.phoneme_buckets = tuple(sorted(
             {p for (_, p) in self._fns}
         ))
@@ -376,3 +430,56 @@ class AotPipeline:
             ]
             return (outs[0], mels[0]) if single else (outs, mels)
         return outs[0] if single else outs
+
+    def vocode_streaming(self, mel, pcm16: bool = False):
+        """Long log-mel → waveform chunks from the exported window
+        executable — TTSPipeline.vocode_streaming reconstructed purely from
+        the artifact (exact: same windowing contract, so chunks concatenate
+        to the full vocoder pass). The chunk/context sizes are baked at
+        export time (``manifest["vocode_window"]``); mels must be longer
+        than one window (shorter ones fit a single synthesize() dispatch
+        anyway)."""
+        if self._vocwin is None:
+            raise RuntimeError(
+                "artifact was exported without a streaming-vocoder window "
+                "— re-export with vocode_chunk_frames="
+            )
+        exp, meta = self._vocwin
+        chunk = int(meta["chunk_frames"])
+        ctx = int(meta["context_frames"])
+        window = int(meta["window_frames"])
+        up = self.hop
+        n_mels = int(self.manifest["n_mels"])
+        mel = np.asarray(mel, np.float32)
+        if mel.ndim != 2:
+            raise ValueError("vocode_streaming takes one [T, n_mels] mel")
+        if mel.shape[-1] != n_mels:
+            if mel.shape[0] != n_mels:
+                raise ValueError(
+                    f"mel shape {mel.shape} has no {n_mels}-sized axis"
+                )
+            mel = mel.T
+        t = mel.shape[0]
+        if t <= window:
+            raise ValueError(
+                f"mel has {t} frames <= the exported window ({window}); "
+                "short mels fit one synthesize() dispatch"
+            )
+        chunk_samples = chunk * up
+        for a in range(0, t, chunk):
+            b = min(a + chunk, t)
+            w0 = min(max(a - ctx, 0), t - window)
+            start = (a - w0) * up
+            start_cl = min(start, (window - chunk) * up)
+            block = exp.call(
+                jnp.asarray(mel[w0 : w0 + window])[None],
+                jnp.asarray(start_cl, jnp.int32),
+            )
+            block_np = np.asarray(jax.device_get(block))[0]
+            off = start - start_cl
+            out = block_np[off : off + (b - a) * up]
+            if pcm16:
+                out = (
+                    np.clip(out, -1.0, 1.0) * 32767.0
+                ).astype(np.int16)
+            yield out

@@ -41,6 +41,14 @@ def main() -> None:
     parser.add_argument("--platforms", nargs="+", default=None,
                         help="lowering platforms, e.g. 'tpu' to cross-lower "
                         "from a CPU host")
+    parser.add_argument("--vocode_chunk_frames", type=int, default=None,
+                        help="also export a streaming-vocoder window "
+                        "executable with this chunk size (AotPipeline."
+                        "vocode_streaming: long mels -> audio in O(chunk) "
+                        "memory, no Python model code)")
+    parser.add_argument("--vocode_context_frames", type=int, default=None,
+                        help="context per side for the vocoder window "
+                        "(default: the generator's receptive-field radius)")
     args = parser.parse_args()
     setup_logging()
 
@@ -71,6 +79,8 @@ def main() -> None:
         batch_sizes=args.batch_sizes,
         phoneme_buckets=args.phoneme_buckets,
         platforms=args.platforms,
+        vocode_chunk_frames=args.vocode_chunk_frames,
+        vocode_context_frames=args.vocode_context_frames,
     )
     logger.info("wrote serving artifacts to %s", out)
 

@@ -252,3 +252,55 @@ def test_progressive_warmup(pipeline, aot_dir_batched):
                        text_processor=pipeline.text_processor)
     aot2.warmup(block=True)
     assert aot2.warm_all_done()
+
+
+@pytest.fixture(scope="module")
+def aot_dir_vocwin(pipeline, tmp_path_factory):
+    out = tmp_path_factory.mktemp("aot_vocwin")
+    export_pipeline(pipeline, out, batch_sizes=(1,), phoneme_buckets=(16,),
+                    vocode_chunk_frames=16)
+    return out
+
+
+def test_aot_vocode_streaming_matches_live(pipeline, aot_dir_vocwin):
+    """The exported window executable reproduces the live streaming
+    vocoder exactly: chunks concatenate to the full vocoder pass."""
+    from iris_tts_tpu.serve import AotPipeline
+
+    manifest = json.loads((aot_dir_vocwin / "manifest.json").read_text())
+    vw = manifest["vocode_window"]
+    assert vw["chunk_frames"] == 16
+    assert (aot_dir_vocwin / vw["file"]).stat().st_size > 1000
+
+    aot = AotPipeline(aot_dir_vocwin,
+                      text_processor=pipeline.text_processor)
+    rng = np.random.default_rng(3)
+    mel = rng.normal(
+        -3.0, 2.0,
+        size=(70, pipeline.config.hifigan.in_channels),
+    ).astype(np.float32)
+    got = np.concatenate(list(aot.vocode_streaming(mel)))
+    np.testing.assert_array_equal(got, pipeline.vocode(mel))
+    # PCM16 variant quantizes the same samples.
+    pcm = np.concatenate(list(aot.vocode_streaming(mel, pcm16=True)))
+    assert pcm.dtype == np.int16
+    np.testing.assert_array_equal(
+        pcm,
+        (np.clip(got, -1.0, 1.0) * 32767.0).astype(np.int16),
+    )
+
+
+def test_aot_vocode_streaming_guards(pipeline, aot_dir_vocwin,
+                                     aot_dir_batched):
+    from iris_tts_tpu.serve import AotPipeline
+
+    aot = AotPipeline(aot_dir_vocwin,
+                      text_processor=pipeline.text_processor)
+    short = np.zeros((10, pipeline.config.hifigan.in_channels), np.float32)
+    with pytest.raises(ValueError, match="frames <= the exported window"):
+        list(aot.vocode_streaming(short))
+
+    no_win = AotPipeline(aot_dir_batched,
+                         text_processor=pipeline.text_processor)
+    with pytest.raises(RuntimeError, match="without a streaming-vocoder"):
+        list(no_win.vocode_streaming(np.zeros((100, 80), np.float32)))

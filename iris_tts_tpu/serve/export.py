@@ -128,8 +128,15 @@ def export_pipeline(
             )(*args)
             name = f"synth_b{b}_p{p_bucket}.shlo"
             (path / name).write_bytes(exp.serialize())
+            # Raw StableHLO bytecode beside the jax.export envelope: what a
+            # bare PJRT host (native/pjrt_runner.cpp) feeds straight to
+            # PJRT_Client_Compile (format "mlir") — serving with no Python
+            # at all.
+            raw = name.replace(".shlo", ".mlir.bc")
+            (path / raw).write_bytes(exp.mlir_module_serialized)
             manifest["entries"].append({
                 "file": name,
+                "mlir_file": raw,
                 "batch": b,
                 "phoneme_bucket": p_bucket,
                 "frame_bucket": int(t_bucket),
@@ -167,14 +174,29 @@ def export_pipeline(
         )
         vname = f"vocwin_c{int(vocode_chunk_frames)}_x{int(ctx)}.shlo"
         (path / vname).write_bytes(vexp.serialize())
+        vraw = vname.replace(".shlo", ".mlir.bc")
+        (path / vraw).write_bytes(vexp.mlir_module_serialized)
         manifest["vocode_window"] = {
             "file": vname,
+            "mlir_file": vraw,
             "chunk_frames": int(vocode_chunk_frames),
             "context_frames": int(ctx),
             "window_frames": window,
             "platforms": list(vexp.platforms),
         }
         logger.info("exported %s (window=%d frames)", vname, window)
+
+    # Default XLA compile options for the bare-PJRT host (1 replica / 1
+    # partition — the artifact executables are single-device programs).
+    try:
+        from jaxlib import xla_client
+
+        (path / "compile_options.pb").write_bytes(
+            xla_client.CompileOptions().SerializeAsString()
+        )
+        manifest["compile_options"] = "compile_options.pb"
+    except Exception as e:  # noqa: BLE001 — python serving works without it
+        logger.warning("compile-options proto not written: %s", e)
 
     pipe.vocab.save(path / "vocab.json")
     (path / "manifest.json").write_text(json.dumps(manifest, indent=2))

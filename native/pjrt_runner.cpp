@@ -20,6 +20,13 @@
 //       [--iters N] [--out-prefix /tmp/out] [--device 0]
 //   pjrt_runner --npy-roundtrip in.npy out.npy   # IO self-test, no device
 //
+// `--serve` turns the one-shot run into a long-lived serving process:
+// after compiling once it reads requests from stdin, one per line —
+//   <arg> <arg> ... <out-prefix>
+// (same <arg> syntax as --arg) — executes, writes the outputs, and prints
+// one JSON line per request to stdout. The per-process compile cost is
+// paid once; every request after that is upload + execute + fetch.
+//
 // `--arg` order must match the executable's flattened argument order; a
 // bare path loads a .npy array, `TYPE:value` makes a rank-0 scalar. Exactly
 // one JSON line goes to stdout (timings + output shapes); diagnostics go to
@@ -31,6 +38,7 @@
 #include <cstdio>
 #include <cstring>
 #include <fstream>
+#include <iostream>
 #include <sstream>
 #include <string>
 #include <vector>
@@ -277,7 +285,7 @@ int main(int argc, char** argv) {
   std::string plugin, module_path, compile_options_path, out_prefix;
   OptionStorage options;
   std::vector<HostArray> args_in;
-  bool probe = false;
+  bool probe = false, serve = false;
   int iters = 1, device_index = 0;
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
@@ -306,6 +314,7 @@ int main(int argc, char** argv) {
     } else if (a == "--iters") iters = std::stoi(next());
     else if (a == "--out-prefix") out_prefix = next();
     else if (a == "--device") device_index = std::stoi(next());
+    else if (a == "--serve") serve = true;
     else Fatal("unknown flag " + a);
   }
   if (plugin.empty()) Fatal("--plugin is required");
@@ -393,10 +402,7 @@ int main(int argc, char** argv) {
   CALL(api, PJRT_Executable_NumOutputs, no);
   size_t num_outputs = no.num_outputs;
 
-  // Upload inputs once (serving reuse pattern: weights are baked into the
-  // executable, activations re-upload per request).
-  std::vector<PJRT_Buffer*> in_bufs;
-  for (const HostArray& arr : args_in) {
+  auto upload = [&](const HostArray& arr) -> PJRT_Buffer* {
     PJRT_Client_BufferFromHostBuffer_Args b;
     std::memset(&b, 0, sizeof(b));
     b.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
@@ -410,8 +416,8 @@ int main(int argc, char** argv) {
     b.device = device;
     CALL(api, PJRT_Client_BufferFromHostBuffer, b);
     AwaitEvent(api, b.done_with_host_buffer);
-    in_bufs.push_back(b.buffer);
-  }
+    return b.buffer;
+  };
 
   PJRT_ExecuteOptions eopts;
   std::memset(&eopts, 0, sizeof(eopts));
@@ -453,10 +459,10 @@ int main(int argc, char** argv) {
   // Timing includes one host fetch of every output — device-completion
   // events alone do not reliably block on proxied backends, and serving
   // pays the fetch anyway.
-  double exec_total_ms = 0;
-  std::vector<HostArray> host_out(num_outputs);
-  for (int it = 0; it < iters; it++) {
-    PJRT_Buffer* const* arg_list = in_bufs.data();
+  auto run_once = [&](const std::vector<PJRT_Buffer*>& ins,
+                      std::vector<HostArray>* host_out,
+                      bool keep_buffers) -> double {
+    PJRT_Buffer* const* arg_list = ins.data();
     PJRT_Buffer** out_list = outputs.data();
     PJRT_Event* done = nullptr;
     PJRT_LoadedExecutable_Execute_Args ex;
@@ -466,33 +472,84 @@ int main(int argc, char** argv) {
     ex.options = &eopts;
     ex.argument_lists = &arg_list;
     ex.num_devices = 1;
-    ex.num_args = in_bufs.size();
+    ex.num_args = ins.size();
     ex.output_lists = &out_list;
     ex.device_complete_events = &done;
     ex.execute_device = device;
     double s = NowMs();
     CALL(api, PJRT_LoadedExecutable_Execute, ex);
     if (done != nullptr) AwaitEvent(api, done);
-    bool last = it + 1 == iters;
     for (size_t o = 0; o < num_outputs; o++) {
-      fetch(outputs[o], &host_out[o], /*want_data=*/true);
-      if (!last) destroy_buffer(outputs[o]);
+      fetch(outputs[o], &(*host_out)[o], /*want_data=*/true);
+      if (!keep_buffers) destroy_buffer(outputs[o]);
     }
-    exec_total_ms += NowMs() - s;
+    return NowMs() - s;
+  };
+
+  auto shapes_json = [&](const std::vector<HostArray>& host_out,
+                         const std::string& prefix) -> std::string {
+    std::ostringstream shapes;
+    shapes << "[";
+    for (size_t o = 0; o < num_outputs; o++) {
+      if (host_out[o].dtype == nullptr) Fatal("output dtype unsupported");
+      if (!prefix.empty())
+        WriteNpy(prefix + "_" + std::to_string(o) + ".npy", host_out[o]);
+      shapes << (o ? ", " : "") << "[";
+      for (size_t d = 0; d < host_out[o].dims.size(); d++)
+        shapes << (d ? ", " : "") << host_out[o].dims[d];
+      shapes << "]";
+    }
+    shapes << "]";
+    return shapes.str();
+  };
+
+  if (serve) {
+    // Request loop: "<arg> <arg> ... <out-prefix>" per stdin line.
+    std::fprintf(stderr, "pjrt_runner: serving (compile paid; one request "
+                         "per line: args... out-prefix)\n");
+    std::string line;
+    std::vector<HostArray> host_out(num_outputs);
+    while (std::getline(std::cin, line)) {
+      if (line.empty()) continue;
+      std::stringstream ss(line);
+      std::vector<std::string> toks;
+      std::string t;
+      while (ss >> t) toks.push_back(t);
+      if (toks.size() < 2) {
+        std::printf("{\"error\": \"request wants: args... out-prefix\"}\n");
+        std::fflush(stdout);
+        continue;
+      }
+      std::vector<PJRT_Buffer*> ins;
+      for (size_t k = 0; k + 1 < toks.size(); k++) {
+        HostArray arr;
+        if (!ParseScalarArg(toks[k], &arr)) arr = ReadNpy(toks[k]);
+        ins.push_back(upload(arr));
+      }
+      double ms = run_once(ins, &host_out, /*keep_buffers=*/false);
+      for (PJRT_Buffer* buf : ins) destroy_buffer(buf);
+      std::string shapes = shapes_json(host_out, toks.back());
+      std::printf("{\"exec_fetch_ms\": %.2f, \"output_shapes\": %s}\n", ms,
+                  shapes.c_str());
+      std::fflush(stdout);
+    }
+    PJRT_Client_Destroy_Args cd;
+    std::memset(&cd, 0, sizeof(cd));
+    cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
+    cd.client = client;
+    CALL(api, PJRT_Client_Destroy, cd);
+    return 0;
   }
 
-  std::ostringstream shapes;
-  shapes << "[";
-  for (size_t o = 0; o < num_outputs; o++) {
-    if (host_out[o].dtype == nullptr) Fatal("output dtype unsupported");
-    if (!out_prefix.empty())
-      WriteNpy(out_prefix + "_" + std::to_string(o) + ".npy", host_out[o]);
-    shapes << (o ? ", " : "") << "[";
-    for (size_t d = 0; d < host_out[o].dims.size(); d++)
-      shapes << (d ? ", " : "") << host_out[o].dims[d];
-    shapes << "]";
-  }
-  shapes << "]";
+  // One-shot: upload the --arg inputs once, execute --iters times.
+  std::vector<PJRT_Buffer*> in_bufs;
+  for (const HostArray& arr : args_in) in_bufs.push_back(upload(arr));
+  double exec_total_ms = 0;
+  std::vector<HostArray> host_out(num_outputs);
+  for (int it = 0; it < iters; it++)
+    exec_total_ms +=
+        run_once(in_bufs, &host_out, /*keep_buffers=*/it + 1 == iters);
+  std::string shapes = shapes_json(host_out, out_prefix);
   for (size_t o = 0; o < num_outputs; o++) destroy_buffer(outputs[o]);
   for (PJRT_Buffer* buf : in_bufs) destroy_buffer(buf);
   PJRT_Executable_Destroy_Args ed;
@@ -516,6 +573,6 @@ int main(int argc, char** argv) {
       "\"mean_exec_fetch_ms\": %.2f, \"num_outputs\": %zu, "
       "\"output_shapes\": %s}\n",
       client_ms, compile_ms, iters, exec_total_ms / iters, num_outputs,
-      shapes.str().c_str());
+      shapes.c_str());
   return 0;
 }

@@ -102,3 +102,56 @@ def avg_ms(fn, args_cycle, n: int = 30) -> float:
         out = fn(*args_cycle[i % len(args_cycle)])
     sync(out)
     return 1000 * (time.perf_counter() - t0) / n
+
+
+def add_mesh_arg(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--mesh", action="store_true",
+        help="train data-parallel over all visible devices: batches shard "
+        "over the mesh's data axis, state replicates, XLA inserts the "
+        "gradient psums (new capability beyond the single-device "
+        "reference, SURVEY.md §2.4)",
+    )
+
+
+def mesh_training_placement(state, accum_steps: int = 1):
+    """Place a TrainState + per-step batches for data-parallel training.
+
+    Returns ``(state, place_batch)``: the state with every array leaf
+    replicated across a ``(data, model)`` mesh of all visible devices, and
+    a function that device_puts a host batch with its batch axis sharded
+    over ``data`` (axis 1 when gradient accumulation stacks microbatches in
+    front — each microbatch then spreads over the mesh). The jitted train
+    step itself is untouched: GSPMD reads the shardings and inserts the
+    cross-device gradient reductions. Masked losses stay exact under the
+    batcher's padded remainder rows because their denominators are global
+    mask sums.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from iris_tts_tpu.config import MeshConfig
+    from iris_tts_tpu.parallel.mesh import build_mesh, replicated
+
+    cfg = MeshConfig()
+    mesh = build_mesh(cfg)
+    rep = replicated(mesh)
+    state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep), state
+    )
+    spec = (
+        PartitionSpec(None, cfg.data_axis)
+        if accum_steps > 1
+        else PartitionSpec(cfg.data_axis)
+    )
+    sharding = NamedSharding(mesh, spec)
+
+    def place_batch(batch):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch
+        )
+
+    logging.getLogger(__name__).info(
+        "data-parallel training on %s", dict(mesh.shape)
+    )
+    return state, place_batch

@@ -36,6 +36,8 @@ from iris_tts_tpu.train.loop import TrainLoop, resume_if_available
 from iris_tts_tpu.utils.metrics import MetricsWriter
 from scripts.common import (
     add_common_args,
+    add_mesh_arg,
+    mesh_training_placement,
     persist_config,
     resolve_config,
     setup_logging,
@@ -51,6 +53,7 @@ def main() -> None:
         help="gradient-accumulation microbatches per optimizer update "
         "(effective batch = accum_steps * batch_size)",
     )
+    add_mesh_arg(parser)
     args = parser.parse_args()
     setup_logging(args.verbose)
     cfg = resolve_config(args)
@@ -104,6 +107,12 @@ def main() -> None:
     )
     state, start_epoch = resume_if_available(ckpt, template, steps_per_epoch)
 
+    place_batch = lambda b: b  # noqa: E731 — identity off-mesh
+    if args.mesh:
+        state, place_batch = mesh_training_placement(
+            state, accum_steps=args.accum_steps
+        )
+
     raw_step = jax.jit(
         make_duration_train_step(cfg, accum_steps=args.accum_steps)
     )
@@ -112,10 +121,13 @@ def main() -> None:
 
         def train_step(state, batch, *extras):
             return raw_step(
-                state, split_microbatches(batch, args.accum_steps), *extras
+                state,
+                place_batch(split_microbatches(batch, args.accum_steps)),
+                *extras,
             )
     else:
-        train_step = raw_step
+        def train_step(state, batch, *extras):
+            return raw_step(state, place_batch(batch), *extras)
 
     loop = TrainLoop(
         state=state,

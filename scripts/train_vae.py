@@ -40,6 +40,8 @@ from iris_tts_tpu.train.loop import TrainLoop, resume_if_available
 from iris_tts_tpu.utils.metrics import MetricsWriter
 from scripts.common import (
     add_common_args,
+    add_mesh_arg,
+    mesh_training_placement,
     persist_config,
     resolve_config,
     setup_logging,
@@ -70,6 +72,7 @@ def main() -> None:
         "effective batch is accum_steps * batch_size in the device memory "
         "of one batch_size (train.steps.split_microbatches)",
     )
+    add_mesh_arg(parser)
     args = parser.parse_args()
     setup_logging(args.verbose)
     if args.encoder_checkpoint is None:
@@ -142,16 +145,25 @@ def main() -> None:
             ),
         )
 
+    place_batch = lambda b: b  # noqa: E731 — identity off-mesh
+    if args.mesh:
+        state, place_batch = mesh_training_placement(
+            state, accum_steps=args.accum_steps
+        )
+
     raw_step = jax.jit(make_vae_train_step(cfg, accum_steps=args.accum_steps))
     if args.accum_steps > 1:
         from iris_tts_tpu.train import split_microbatches
 
         def train_step(state, batch, *extras):
             return raw_step(
-                state, split_microbatches(batch, args.accum_steps), *extras
+                state,
+                place_batch(split_microbatches(batch, args.accum_steps)),
+                *extras,
             )
     else:
-        train_step = raw_step
+        def train_step(state, batch, *extras):
+            return raw_step(state, place_batch(batch), *extras)
 
     loop = TrainLoop(
         state=state,

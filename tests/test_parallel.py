@@ -188,3 +188,63 @@ def test_hifigan_512ch_tensor_parallel_equality(devices):
         jax.jit(gen.apply)({"params": p_tp}, mel_sharded)
     )
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=2e-5)
+
+
+def test_mesh_training_placement_matches_single_device(devices):
+    """The training CLIs' --mesh wiring (scripts.common
+    mesh_training_placement): 3 data-parallel duration-train steps on the
+    8-virtual-device mesh produce the same params as single-device steps —
+    GSPMD's inserted gradient reduction is exact, and the counter-based
+    PRNG makes the dropout keys value-identical under sharding."""
+    import dataclasses
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from scripts.common import mesh_training_placement
+
+    import optax
+
+    from iris_tts_tpu.train import TrainState
+    from iris_tts_tpu.train.steps import make_duration_train_step
+    from tests.test_train_steps import CFG, _duration_batch, \
+        _init_duration_state
+
+    cfg = dataclasses.replace(
+        CFG,
+        encoder=dataclasses.replace(CFG.encoder, dropout=0.0),
+        duration=dataclasses.replace(CFG.duration, dropout=0.0),
+    )
+    key = jax.random.PRNGKey(11)
+    base = _init_duration_state(key)
+    rng = np.random.default_rng(11)
+    # 8 rows: divisible by the 8-device data axis.
+    b4 = _duration_batch(rng)
+    batch = {k: jnp.concatenate([v, v]) for k, v in b4.items()}
+
+    # SGD, not Adam: Adam's ~sign(g) early updates amplify float-ulp
+    # cross-sharding grad differences (same rationale as the accumulation
+    # equivalence test).
+    step = jax.jit(make_duration_train_step(cfg))
+    single = TrainState.create(base.params, optax.sgd(1e-2), key)
+    for _ in range(3):
+        single, m_single = step(single, batch)
+
+    meshed = TrainState.create(base.params, optax.sgd(1e-2), key)
+    meshed, place_batch = mesh_training_placement(meshed)
+    placed = place_batch(batch)
+    assert len(placed["phoneme_ids"].sharding.device_set) == 8
+    for _ in range(3):
+        meshed, m_mesh = step(meshed, placed)
+
+    np.testing.assert_allclose(
+        float(m_mesh["duration_loss"]), float(m_single["duration_loss"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(meshed.params),
+        jax.tree_util.tree_leaves(single.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        )

@@ -131,3 +131,46 @@ def test_bench_train_cli_shape():
     payload = json.loads(lines[0])
     assert payload["metric"] == "vae_train_mel_frames_per_sec"
     assert payload["value"] > 0
+
+
+def test_train_hifigan_cli_end_to_end_with_resume(tmp_path):
+    """GAN fine-tune CLI: corpus → 1 epoch (EMA on) → checkpoints for BOTH
+    sides → rerun resumes from the shared step instead of restarting."""
+    from tests.corpus_utils import build_mini_corpus
+
+    cfg = dict(SMALL_CFG)
+    # Mel convention must match the tiny generator: hop == total upsample
+    # (4*2), n_mels == in_channels.
+    cfg["audio"] = {"n_fft": 64, "hop_length": 8, "win_length": 64,
+                    "n_mels": 16}
+    cfg["train"] = {"checkpoint_every_epochs": 1}
+    cfg_file = tmp_path / "gan_cfg.json"
+    cfg_file.write_text(json.dumps(cfg))
+
+    root, align = build_mini_corpus(tmp_path, n=6)
+    out = tmp_path / "outputs"
+    args = [
+        "scripts/train_hifigan.py",
+        "--config", str(cfg_file),
+        "--data_root", str(root),
+        "--alignment_dir", str(align),
+        "--cache_dir", str(tmp_path / "cache"),
+        "--output_dir", str(out),
+        "--batch_size", "2",
+        "--num_epochs", "1",
+        "--segment_frames", "16",
+        "--disc_width", "0.05",
+        "--periods", "2",
+        "--num_scales", "1",
+        "--ema_decay", "0.9",
+    ]
+    r = _run(args)
+    assert r.returncode == 0, r.stderr[-2000:]
+    gan_dir = out / "hifigan_gan"
+    assert (gan_dir / "gen").exists() and (gan_dir / "disc").exists()
+    assert (gan_dir / "metrics.csv").exists()
+
+    args[args.index("--num_epochs") + 1] = "2"
+    r2 = _run(args)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed GAN from step" in (r2.stderr + r2.stdout)

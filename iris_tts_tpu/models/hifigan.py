@@ -326,6 +326,29 @@ def receptive_radius_frames(config: HiFiGANConfig = HiFiGANConfig()) -> int:
     return -(-r // total_up)
 
 
+def iter_stream_windows(t: int, chunk_frames: int, context_frames: int):
+    """The exact-streaming window plan shared by TTSPipeline.vocode_streaming
+    and AotPipeline.vocode_streaming — ONE home for the clamping arithmetic
+    that the bit-exactness contract depends on.
+
+    Yields ``(a, b, w0, start_f, start_cl_f)`` per chunk: mel rows [a, b)
+    are produced from window ``[w0, w0 + chunk + 2*context)``; the keep
+    region starts ``start_f`` frames into the window, and ``start_cl_f`` is
+    that start clamped so a fixed-size slice fits (the caller trims the
+    difference, in samples, on the host). Windows touching the true mel
+    boundaries align to them so layer zero-padding matches a full pass.
+    Requires ``t > chunk_frames + 2*context_frames`` (shorter mels fit one
+    whole-mel dispatch).
+    """
+    window = chunk_frames + 2 * context_frames
+    for a in range(0, t, chunk_frames):
+        b = min(a + chunk_frames, t)
+        w0 = min(max(a - context_frames, 0), t - window)
+        start_f = a - w0
+        start_cl_f = min(start_f, window - chunk_frames)
+        yield a, b, w0, start_f, start_cl_f
+
+
 # ---------------------------------------------------------------------------
 # Convenience wrappers (API parity with the reference)
 # ---------------------------------------------------------------------------

@@ -238,6 +238,7 @@ class TTSPipeline:
         vae_checkpoint: str | Path,
         postnet_checkpoint: Optional[str | Path] = None,
         hifigan_checkpoint: Optional[str | Path] = None,
+        hifigan_gan_checkpoint: Optional[str | Path] = None,
         config: Optional[IrisConfig] = None,
         vocab: Optional[PhonemeVocab] = None,
         vocab_path: Optional[str | Path] = None,
@@ -250,8 +251,12 @@ class TTSPipeline:
 
         ``config`` defaults to the config persisted inside the VAE stage
         checkpoint directory; ``hifigan_checkpoint`` is a torch
-        ``generator.ckpt`` run through the weight converter. Missing PostNet
-        → VAE output used directly (reference: synthesize.py:168-169).
+        ``generator.ckpt`` run through the weight converter, while
+        ``hifigan_gan_checkpoint`` is a generator stage directory from this
+        framework's own train_hifigan.py (outputs/hifigan_gan/gen) — the
+        EMA average deploys when the run tracked one
+        (``TrainState.serving_params``). Missing PostNet → VAE output used
+        directly (reference: synthesize.py:168-169).
         """
         from iris_tts_tpu.config import load_config
         from iris_tts_tpu.train.checkpoint import CheckpointManager
@@ -304,6 +309,11 @@ class TTSPipeline:
                 "batch_stats": pn_raw["batch_stats"],
             }
 
+        if hifigan_checkpoint is not None and hifigan_gan_checkpoint:
+            raise ValueError(
+                "pass either hifigan_checkpoint (torch) or "
+                "hifigan_gan_checkpoint (train_hifigan.py stage), not both"
+            )
         if hifigan_checkpoint is not None:
             from iris_tts_tpu.convert.hifigan_torch import (
                 convert_hifigan_state_dict,
@@ -313,6 +323,16 @@ class TTSPipeline:
             sd = load_torch_checkpoint(hifigan_checkpoint)
             pipe.params["hifigan"] = convert_hifigan_state_dict(
                 sd, config.hifigan
+            )
+        elif hifigan_gan_checkpoint is not None:
+            gan_mgr = CheckpointManager(Path(hifigan_gan_checkpoint))
+            raw = gan_mgr.restore_best_raw()
+            gan_mgr.close()
+            # serving_params semantics on the raw dict: the EMA average is
+            # what ships when the run tracked one, the raw generator
+            # otherwise.
+            pipe.params["hifigan"] = (
+                raw.get("ema_params") or raw["params"]
             )
         return pipe
 
@@ -828,26 +848,25 @@ class TTSPipeline:
                 ).astype(np.int16)
             yield audio
             return
+        from iris_tts_tpu.models.hifigan import iter_stream_windows
+
         chunk_samples = chunk_frames * up
-        for a in range(0, t, chunk_frames):
-            b = min(a + chunk_frames, t)
-            # Clamp the window inside the mel: a boundary window's edge IS
-            # the true edge, so conv padding matches the full pass there.
-            w0 = min(max(a - context_frames, 0), t - window)
-            start = (a - w0) * up
-            # dynamic_slice needs start + chunk_samples <= window samples;
-            # over-left-shift and trim the difference on the host.
-            start_cl = min(start, (window - chunk_frames) * up)
+        # Window plan (boundary alignment + slice clamping) is shared with
+        # the AOT path — hifigan.iter_stream_windows holds the arithmetic
+        # the bit-exactness contract depends on.
+        for a, b, w0, start_f, start_cl_f in iter_stream_windows(
+            t, chunk_frames, context_frames
+        ):
             block = self._vocode_window(
                 self.params,
                 jnp.asarray(mel[w0 : w0 + window])[None],
-                jnp.asarray(start_cl, jnp.int32),
+                jnp.asarray(start_cl_f * up, jnp.int32),
                 chunk_samples=chunk_samples,
                 mrf_impl=self.mrf_impl,
                 pcm16=pcm16,
             )
             block_np = np.asarray(jax.device_get(block))[0]
-            off = start - start_cl
+            off = (start_f - start_cl_f) * up
             yield block_np[off : off + (b - a) * up]
 
     def _chunk_long_text(self, text: str, max_phonemes: int) -> list:

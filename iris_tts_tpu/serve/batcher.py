@@ -107,6 +107,11 @@ class DynamicBatcher:
         # submit() enforces the limit.
         self._max_queue = max(1, max_queue)
         self.n_rejected = 0
+        # Serializes the admission check-then-put and the rejection counter
+        # across HTTP handler threads (ThreadingHTTPServer: one per
+        # connection); without it N racing admits can overshoot the limit
+        # and concurrent rejects lose counter increments.
+        self._admission_lock = threading.Lock()
         self._queue: "queue.Queue[Optional[BatchItem]]" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
         self._started = False
@@ -134,22 +139,24 @@ class DynamicBatcher:
 
     def submit(self, text: str, temperature: float = 1.0,
                seed: Optional[int] = None,
-               chunks: Optional[List[str]] = None) -> "Future[np.ndarray]":
+               chunks: Optional[List[str]] = None,
+               bypass_admission: bool = False) -> "Future[np.ndarray]":
         """Queue one utterance; resolves to a 1-D float32 waveform.
 
         Raises in the caller (not the device thread) on bad arguments or
         over-limit text, so poison requests can never kill the server.
         ``chunks`` lets a streaming caller pass already-computed sentence
         chunks so the frontend G2P does not run twice.
+
+        ``bypass_admission`` exempts the put from the queue-depth limit —
+        for continuation chunks of an already-admitted streaming request:
+        admission control gates request STARTS; 503-ing a request halfway
+        through its stream would truncate audio the client already
+        committed to (the chunk count is still bounded per request by
+        ``max_chunks_per_request``).
         """
         if self._stopping.is_set():
             raise RuntimeError("batcher is stopped")
-        if self._queue.qsize() >= self._max_queue:
-            self.n_rejected += 1
-            raise ServerOverloadedError(
-                f"request queue at its {self._max_queue}-request limit; "
-                "retry later"
-            )
         temperature = float(temperature)
         if seed is not None:
             seed = int(seed)
@@ -157,7 +164,15 @@ class DynamicBatcher:
             chunks = self.chunk_text(text)
         fut: "Future[np.ndarray]" = Future()
         item = BatchItem(str(text), fut, temperature, seed, chunks=chunks)
-        self._queue.put(item)
+        with self._admission_lock:
+            if (not bypass_admission
+                    and self._queue.qsize() >= self._max_queue):
+                self.n_rejected += 1
+                raise ServerOverloadedError(
+                    f"request queue at its {self._max_queue}-request "
+                    "limit; retry later"
+                )
+            self._queue.put(item)
         if self._stopping.is_set():
             # stop() may already have drained the queue past our put.
             _fail(fut, RuntimeError("server shutdown"))

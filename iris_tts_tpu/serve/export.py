@@ -487,18 +487,17 @@ class AotPipeline:
                 f"mel has {t} frames <= the exported window ({window}); "
                 "short mels fit one synthesize() dispatch"
             )
-        chunk_samples = chunk * up
-        for a in range(0, t, chunk):
-            b = min(a + chunk, t)
-            w0 = min(max(a - ctx, 0), t - window)
-            start = (a - w0) * up
-            start_cl = min(start, (window - chunk) * up)
+        from iris_tts_tpu.models.hifigan import iter_stream_windows
+
+        for a, b, w0, start_f, start_cl_f in iter_stream_windows(
+            t, chunk, ctx
+        ):
             block = exp.call(
                 jnp.asarray(mel[w0 : w0 + window])[None],
-                jnp.asarray(start_cl, jnp.int32),
+                jnp.asarray(start_cl_f * up, jnp.int32),
             )
             block_np = np.asarray(jax.device_get(block))[0]
-            off = start - start_cl
+            off = (start_f - start_cl_f) * up
             out = block_np[off : off + (b - a) * up]
             if pcm16:
                 out = (

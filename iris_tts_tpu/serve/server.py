@@ -178,9 +178,13 @@ class _Handler(BaseHTTPRequestHandler):
             # TTFA: first audio bytes on the wire, measured from request
             # arrival — the streaming latency metric (/stats "ttfa_ms").
             self.batcher.record_ttfa(time.monotonic() - t_start)
+            # bypass_admission: this stream was admitted via its first
+            # chunk; 503-ing its continuation chunks under load would
+            # truncate a response whose 200 header is already on the wire.
             futs = [
                 self.batcher.submit(c, temperature=temperature,
-                                    seed=chunk_seed(i + 1), chunks=[c])
+                                    seed=chunk_seed(i + 1), chunks=[c],
+                                    bypass_admission=True)
                 for i, c in enumerate(chunks[1:])
             ]
             for f in futs:

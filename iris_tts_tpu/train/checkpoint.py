@@ -93,10 +93,25 @@ class CheckpointManager:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        restored = self._mgr.restore(
-            step,
-            args=ocp.args.StandardRestore(_to_savable(state_template)),
-        )
+        try:
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.StandardRestore(_to_savable(state_template)),
+            )
+        except ValueError as e:
+            if ("structures do not match" in str(e)
+                    and "ema_params" in str(e)):
+                # The common way to hit this: resuming an EMA run without
+                # re-passing --ema_decay (template ema_params=None is an
+                # EMPTY pytree node, not a mismatched leaf — orbax sees a
+                # different tree). Say so instead of the raw tree dump.
+                raise ValueError(
+                    "checkpoint/template EMA mismatch: the checkpoint and "
+                    "the resume template disagree on whether ema_params is "
+                    "tracked — pass the ema_decay the run trained with "
+                    f"(checkpoint: {self.directory})"
+                ) from e
+            raise
         return _from_savable(state_template, restored)
 
     def restore_best(self, state_template: Any) -> Any:
@@ -159,14 +174,28 @@ def _to_savable(state: Any) -> Any:
             "frozen": state.frozen,
             # EMA average (None when disabled): without this key a resumed
             # GAN run would silently restart the average from the raw
-            # params while serving_params claims a warmed-up EMA.
+            # params while serving_params claims a warmed-up EMA. The decay
+            # rides along so resume can detect a template whose --ema_decay
+            # flag disagrees with what trained (an ema_params=None template
+            # would otherwise SKIP the saved subtree silently — None is an
+            # empty pytree node, not a leaf).
             "ema_params": state.ema_params,
+            "ema_decay": np.asarray(state.ema_decay, np.float32),
         }
     return state
 
 
 def _from_savable(template: Any, restored: Any) -> Any:
     if hasattr(template, "params") and hasattr(template, "opt_state"):
+        restored = dict(restored)
+        saved_decay = float(np.asarray(restored.pop("ema_decay", 0.0)))
+        if bool(saved_decay) != bool(template.ema_decay):
+            raise ValueError(
+                f"checkpoint trained with ema_decay={saved_decay} but the "
+                f"resume template has ema_decay={template.ema_decay}: "
+                "pass the matching --ema_decay (a mismatched template "
+                "would silently drop the saved EMA average)"
+            )
         return template.replace(**restored)
     return restored
 

@@ -35,6 +35,7 @@
 #include <dlfcn.h>
 
 #include <cstdint>
+#include <deque>
 #include <cstdio>
 #include <cstring>
 #include <fstream>
@@ -47,10 +48,11 @@
 
 namespace {
 
-[[noreturn]] void Fatal(const std::string& msg) {
-  std::fprintf(stderr, "pjrt_runner: %s\n", msg.c_str());
-  std::exit(1);
-}
+struct FatalError {
+  std::string msg;
+};
+
+[[noreturn]] void Fatal(const std::string& msg) { throw FatalError{msg}; }
 
 std::string ErrorMessage(const PJRT_Api* api, PJRT_Error* err) {
   PJRT_Error_Message_Args m;
@@ -210,7 +212,9 @@ double NowMs() {
 
 // --option name=TYPE:value → PJRT_NamedValue (storage kept alive by caller).
 struct OptionStorage {
-  std::vector<std::string> strings;  // stable addresses for string values
+  // deque: push_back never relocates existing elements, so the c_str()
+  // pointers stored into PJRT_NamedValue stay valid as options accumulate.
+  std::deque<std::string> strings;
   std::vector<PJRT_NamedValue> values;
 };
 
@@ -281,7 +285,7 @@ bool ParseScalarArg(const std::string& spec, HostArray* out) {
 
 }  // namespace
 
-int main(int argc, char** argv) {
+int Run(int argc, char** argv) {
   std::string plugin, module_path, compile_options_path, out_prefix;
   OptionStorage options;
   std::vector<HostArray> args_in;
@@ -520,17 +524,33 @@ int main(int argc, char** argv) {
         std::fflush(stdout);
         continue;
       }
+      // A bad request (missing .npy, wrong shape/dtype, device error) must
+      // not take down the server — the compile it paid for is the whole
+      // point of --serve. Reply with an error line and keep serving.
       std::vector<PJRT_Buffer*> ins;
-      for (size_t k = 0; k + 1 < toks.size(); k++) {
-        HostArray arr;
-        if (!ParseScalarArg(toks[k], &arr)) arr = ReadNpy(toks[k]);
-        ins.push_back(upload(arr));
+      try {
+        for (size_t k = 0; k + 1 < toks.size(); k++) {
+          HostArray arr;
+          if (!ParseScalarArg(toks[k], &arr)) arr = ReadNpy(toks[k]);
+          ins.push_back(upload(arr));
+        }
+        double ms = run_once(ins, &host_out, /*keep_buffers=*/false);
+        for (PJRT_Buffer* buf : ins) destroy_buffer(buf);
+        std::string shapes = shapes_json(host_out, toks.back());
+        std::printf("{\"exec_fetch_ms\": %.2f, \"output_shapes\": %s}\n",
+                    ms, shapes.c_str());
+      } catch (const FatalError& e) {
+        for (PJRT_Buffer* buf : ins) {
+          try {
+            destroy_buffer(buf);
+          } catch (const FatalError&) {
+          }
+        }
+        std::string msg = e.msg;
+        for (char& c : msg)  // keep the reply a valid one-line JSON string
+          if (c == '"' || c == '\\' || c == '\n' || c == '\r') c = ' ';
+        std::printf("{\"error\": \"%s\"}\n", msg.c_str());
       }
-      double ms = run_once(ins, &host_out, /*keep_buffers=*/false);
-      for (PJRT_Buffer* buf : ins) destroy_buffer(buf);
-      std::string shapes = shapes_json(host_out, toks.back());
-      std::printf("{\"exec_fetch_ms\": %.2f, \"output_shapes\": %s}\n", ms,
-                  shapes.c_str());
       std::fflush(stdout);
     }
     PJRT_Client_Destroy_Args cd;
@@ -575,4 +595,13 @@ int main(int argc, char** argv) {
       client_ms, compile_ms, iters, exec_total_ms / iters, num_outputs,
       shapes.c_str());
   return 0;
+}
+
+int main(int argc, char** argv) {
+  try {
+    return Run(argc, argv);
+  } catch (const FatalError& e) {
+    std::fprintf(stderr, "pjrt_runner: %s\n", e.msg.c_str());
+    return 1;
+  }
 }

@@ -51,7 +51,12 @@ def main() -> None:
     parser.add_argument("--vae_checkpoint", type=str,
                         default="outputs/vae/checkpoints")
     parser.add_argument("--postnet_checkpoint", type=str, default=None)
-    parser.add_argument("--hifigan_checkpoint", type=str, default=None)
+    parser.add_argument("--hifigan_checkpoint", type=str, default=None,
+                        help="pretrained torch generator.ckpt")
+    parser.add_argument("--hifigan_gan_checkpoint", type=str, default=None,
+                        help="train_hifigan.py generator stage dir "
+                        "(outputs/hifigan_gan/gen); deploys the EMA "
+                        "average when the run tracked one")
     parser.add_argument("--use_griffin_lim", action="store_true",
                         help="Griffin-Lim fallback vocoder (60 iters)")
     parser.add_argument("--random_weights", action="store_true",
@@ -81,6 +86,7 @@ def main() -> None:
             args.vae_checkpoint,
             postnet_checkpoint=args.postnet_checkpoint,
             hifigan_checkpoint=args.hifigan_checkpoint,
+            hifigan_gan_checkpoint=args.hifigan_gan_checkpoint,
             config=load_config(args.config) if args.config else None,
             vocab_path=args.vocab_path,
             lexicon_path=args.lexicon_path,

@@ -83,6 +83,28 @@ def test_ema_params_survive_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_ema_flag_mismatch_on_resume_raises(tmp_path):
+    """Resuming an EMA run with a template that forgot --ema_decay must be
+    LOUD: an ema_params=None template is an empty pytree node, so Orbax
+    would silently skip the saved average (destroying it at next save)."""
+    key = jax.random.PRNGKey(0)
+    params = {"w": jnp.ones((2, 2))}
+    state = _advance(
+        TrainState.create(params, adam_clipped(1e-3), key, ema_decay=0.9)
+    )
+    mgr = CheckpointManager(tmp_path / "ck")
+    mgr.save(int(state.step), state)
+
+    bare = TrainState.create(params, adam_clipped(1e-3), key)
+    with np.testing.assert_raises_regex(ValueError, "ema_decay"):
+        mgr.restore(bare)
+    # The matching template restores fine (and keeps the average — see
+    # test_ema_params_survive_roundtrip).
+    ok = TrainState.create(params, adam_clipped(1e-3), key, ema_decay=0.9)
+    assert int(mgr.restore(ok).step) == int(state.step)
+    mgr.close()
+
+
 def test_best_tracking(tmp_path):
     mgr = CheckpointManager(tmp_path / "ck")
     s1 = _advance(_make_state(), 1)

@@ -173,3 +173,38 @@ def test_three_stage_train_then_assemble_pipeline(tmp_path):
     audio = pipe.synthesize("p one p two", seed=0)
     assert audio.ndim == 1 and len(audio) > 0
     assert np.isfinite(audio).all()
+
+    # Stage 4 (GAN fine-tune consumption): a generator checkpoint with an
+    # EMA average deploys the AVERAGE via hifigan_gan_checkpoint
+    # (TrainState.serving_params semantics).
+    gan_state = TrainState.create(
+        pipe.params["hifigan"], adam_clipped(1e-3), key, ema_decay=0.5
+    )
+    grads = jax.tree_util.tree_map(
+        jnp.ones_like, gan_state.params
+    )
+    gan_state = gan_state.apply_gradients(grads)  # ema != params now
+    gan_ckpt = CheckpointManager(tmp_path / "gan_gen", CFG)
+    gan_ckpt.save(1, gan_state)
+    gan_ckpt.close()
+
+    pipe2 = TTSPipeline.from_checkpoints(
+        tmp_path / "enc",
+        tmp_path / "vae",
+        postnet_checkpoint=tmp_path / "pn",
+        hifigan_gan_checkpoint=tmp_path / "gan_gen",
+        config=CFG,
+        vocab=vocab,
+    )
+    want = jax.tree_util.tree_leaves(gan_state.ema_params)[0]
+    got = jax.tree_util.tree_leaves(pipe2.params["hifigan"])[0]
+    raw = jax.tree_util.tree_leaves(gan_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert np.abs(np.asarray(got) - np.asarray(raw)).max() > 0
+
+    with pytest.raises(ValueError, match="not both"):
+        TTSPipeline.from_checkpoints(
+            tmp_path / "enc", tmp_path / "vae", config=CFG, vocab=vocab,
+            hifigan_checkpoint="x.ckpt",
+            hifigan_gan_checkpoint=tmp_path / "gan_gen",
+        )

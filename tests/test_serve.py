@@ -382,6 +382,12 @@ def test_backpressure_rejects_at_queue_limit(pipeline):
     stats = b.stats()
     assert stats["queue_depth"] == 2
     assert stats["rejected"] == 1
+    # Continuation chunks of an ALREADY-admitted streaming request bypass
+    # the limit: a 503 halfway through a stream would truncate a response
+    # whose 200 header is on the wire (admission gates request starts).
+    b.submit("stream tail", seed=4, bypass_admission=True)
+    assert b.stats()["queue_depth"] == 3
+    assert b.stats()["rejected"] == 1
     # Draining (start + stop) completes the admitted work and the limit
     # clears for subsequent batchers.
     b.start()

@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis) for host-side numerical contracts.
+
+These pin the INVARIANTS behind the example-based suites: the streaming
+window plan that the vocoder's bit-exactness rests on, device length
+regulation's conservation laws, rule-normalization idempotence, and the
+native npy reader's behavior on hostile bytes.
+"""
+
+import subprocess
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from iris_tts_tpu.models.hifigan import iter_stream_windows
+
+SETTINGS = dict(max_examples=80, deadline=None)
+
+
+@settings(**SETTINGS)
+@given(
+    chunk=st.integers(1, 64),
+    ctx=st.integers(0, 32),
+    extra=st.integers(1, 300),
+)
+def test_stream_window_plan_invariants(chunk, ctx, extra):
+    """For every (t, chunk, ctx) with t > window: the yielded keep-regions
+    tile [0, t) exactly; every window lies inside the mel; the clamped
+    slice always fits; boundary windows align to the true mel edges (the
+    property that makes layer zero-padding match a full pass)."""
+    window = chunk + 2 * ctx
+    t = window + extra
+    plan = list(iter_stream_windows(t, chunk, ctx))
+    # Keep-regions tile [0, t) in order without gaps or overlap.
+    assert plan[0][0] == 0 and plan[-1][1] == t
+    for (a, b, w0, sf, scf) in plan:
+        assert 0 < b - a <= chunk
+        # window inside the mel
+        assert 0 <= w0 and w0 + window <= t
+        # the keep region is inside the window
+        assert w0 + sf == a and a + (b - a) <= w0 + window
+        # the clamped fixed-size slice fits, and the host trim offset is
+        # non-negative
+        assert 0 <= scf <= window - chunk and sf >= scf
+        # rows produced from real context wherever it exists
+        if a >= ctx:
+            assert w0 <= a - ctx or w0 == t - window
+        if a < ctx:
+            assert w0 == 0  # left-boundary window IS the true edge
+        if t - b < ctx:
+            assert w0 == t - window  # right-boundary window likewise
+    for prev, cur in zip(plan, plan[1:]):
+        assert prev[1] == cur[0]
+
+
+@settings(**SETTINGS)
+@given(data=st.data())
+def test_length_regulate_conservation(data):
+    """Device length regulation: with a sufficient frame budget, every
+    phoneme occupies exactly its duration in frames, in order, and the
+    frame mask counts the duration sum."""
+    from iris_tts_tpu.ops.length import length_regulate
+
+    P, T = 6, 64
+    durs = data.draw(
+        st.lists(st.integers(0, 8), min_size=P, max_size=P).map(np.array)
+    )
+    total = int(durs.sum())
+    if total == 0 or total > T:
+        return
+    # Encoder output rows are the phoneme indices themselves, so the
+    # regulated frames reveal which phoneme produced them.
+    enc = jnp.arange(P, dtype=jnp.float32)[None, :, None]
+    d = jnp.asarray(durs, jnp.float32)[None]
+    frames, mask = jax.jit(
+        lambda e, dd: length_regulate(e, dd, total_frames=T)
+    )(enc, d)
+    frames = np.asarray(frames)[0, :, 0]
+    mask = np.asarray(mask)[0]
+    assert mask.sum() == total
+    want = np.repeat(np.arange(P), durs)
+    np.testing.assert_array_equal(frames[:total], want)
+
+
+@settings(**SETTINGS)
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F),
+        max_size=60,
+    )
+)
+def test_normalize_text_idempotent_and_total(text):
+    """normalize_text never raises on arbitrary input and is idempotent —
+    a second pass through the rule engine changes nothing (rule engines
+    drift subtly when a rule's OUTPUT matches another rule's INPUT)."""
+    from iris_tts_tpu.text.normalize import normalize_text
+
+    once = normalize_text(text)
+    assert normalize_text(once) == once
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_native_npy_reader_rejects_hostile_bytes(tmp_path_factory, data):
+    """Truncations/mutations of a valid .npy must produce a clean nonzero
+    exit from the native reader — never a crash signal or a hang."""
+    runner = Path(__file__).resolve().parent.parent / "native/pjrt_runner"
+    if not runner.exists():
+        import pytest
+
+        pytest.skip("pjrt_runner not built")
+    tmp = tmp_path_factory.mktemp("fuzz")
+    base = tmp / "base.npy"
+    np.save(base, np.arange(24, dtype=np.float32).reshape(4, 6))
+    raw = bytearray(base.read_bytes())
+    mode = data.draw(st.sampled_from(["truncate", "mutate", "garbage"]))
+    if mode == "truncate":
+        raw = raw[: data.draw(st.integers(0, len(raw) - 1))]
+    elif mode == "mutate":
+        i = data.draw(st.integers(0, min(60, len(raw) - 1)))
+        raw[i] = data.draw(st.integers(0, 255))
+    else:
+        raw = bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), max_size=80).map(bytearray)
+            )
+        )
+    bad = tmp / "bad.npy"
+    bad.write_bytes(bytes(raw))
+    r = subprocess.run(
+        [str(runner), "--npy-roundtrip", str(bad), str(tmp / "out.npy")],
+        capture_output=True, text=True, timeout=30,
+    )
+    # Either the mutation kept it valid (rc 0) or it failed CLEANLY:
+    # returncode 1 with a message, not a signal (negative returncode).
+    assert r.returncode in (0, 1), (r.returncode, r.stderr)

@@ -28,7 +28,13 @@ from iris_tts_tpu.train import (
 from iris_tts_tpu.train.checkpoint import CheckpointManager
 from iris_tts_tpu.train.loop import TrainLoop, resume_if_available
 from iris_tts_tpu.utils.metrics import MetricsWriter
-from scripts.common import add_common_args, resolve_config, setup_logging
+from scripts.common import (
+    add_common_args,
+    add_mesh_arg,
+    mesh_training_placement,
+    resolve_config,
+    setup_logging,
+)
 from scripts.train_vae import load_frozen_encoder
 
 
@@ -44,6 +50,7 @@ def load_frozen_vae(cfg, checkpoint_dir: str | Path, frozen_encoder=None):
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     add_common_args(parser)
+    add_mesh_arg(parser)
     parser.add_argument(
         "--encoder_checkpoint", type=str, default=None,
         help="stage-1 checkpoint dir (default: <output_dir>/encoder/checkpoints)",
@@ -112,9 +119,17 @@ def main() -> None:
     )
     state, start_epoch = resume_if_available(ckpt, template, steps_per_epoch)
 
+    raw_step = jax.jit(make_postnet_train_step(cfg))
+    train_step = raw_step
+    if args.mesh:
+        state, place_batch = mesh_training_placement(state)
+
+        def train_step(state, batch, *extras):
+            return raw_step(state, place_batch(batch), *extras)
+
     loop = TrainLoop(
         state=state,
-        train_step=jax.jit(make_postnet_train_step(cfg)),
+        train_step=train_step,
         batcher=batcher,
         num_epochs=cfg.train.num_epochs,
         checkpoints=ckpt,

@@ -163,6 +163,32 @@ def test_epoch_counter_survives_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_average_checkpoints(tmp_path):
+    """scripts/average_checkpoints.py: the averaged params are the exact
+    mean of the selected steps; missing steps error."""
+    from scripts.average_checkpoints import average_stage_params
+
+    key = jax.random.PRNGKey(0)
+    mgr = CheckpointManager(tmp_path / "ck", max_to_keep=10)
+    vals = [1.0, 2.0, 6.0]
+    for i, v in enumerate(vals):
+        state = TrainState.create(
+            {"w": jnp.full((2, 2), v)}, adam_clipped(1e-3), key
+        ).replace(step=jnp.asarray(i + 1, jnp.int32))
+        mgr.save(i + 1, state)
+    mgr.close()
+
+    avg, used = average_stage_params(tmp_path / "ck", last=3)
+    assert used == [1, 2, 3]
+    np.testing.assert_allclose(avg["w"], np.full((2, 2), 3.0))
+
+    avg2, used2 = average_stage_params(tmp_path / "ck", steps=[2, 3])
+    np.testing.assert_allclose(avg2["w"], np.full((2, 2), 4.0))
+
+    with np.testing.assert_raises_regex(ValueError, "not retained"):
+        average_stage_params(tmp_path / "ck", steps=[99])
+
+
 def test_restore_raw_decouples_optimizer(tmp_path):
     """Template-free restore works even when the consumer's optimizer
     differs from the one that trained the checkpoint (review blocker)."""

@@ -961,25 +961,53 @@ class TTSPipeline:
             int(round(gap_ms / 1000.0 * self.config.audio.sample_rate)),
             np.int16 if pcm16 else np.float32,
         )
-        for i, chunk in enumerate(chunks):
-            if i:
-                yield gap
-            chunk_seed = None if base is None else base + i
-            if vocode_chunk_frames is not None:
+        if vocode_chunk_frames is not None:
+            for i, chunk in enumerate(chunks):
+                if i:
+                    yield gap
                 mel = self.synthesize_mel(
-                    chunk, seed=chunk_seed, temperature=temperature
+                    chunk,
+                    seed=None if base is None else base + i,
+                    temperature=temperature,
                 )
                 yield from self.vocode_streaming(
                     mel, chunk_frames=vocode_chunk_frames, pcm16=pcm16
                 )
-            else:
-                yield self.synthesize(
-                    chunk,
-                    seed=chunk_seed,
-                    temperature=temperature,
-                    fused=True,
-                    pcm16=pcm16,
-                )
+            return
+
+        # One-chunk lookahead: chunk i+1 is dispatched (async) before chunk
+        # i's device→host fetch, so the device computes the next sentence
+        # while the consumer plays the current one. Outputs are identical
+        # to the sequential path — only the overlap changes.
+        def dispatch(i, chunk):
+            ids_np, lengths = self._encode_texts([chunk])
+            t_bucket = self._fused_frame_budget(lengths)
+            ids_dev, lengths_dev, _ = self._device_batch(ids_np, lengths)
+            audio, _mel, n_frames, deficit = self._fused(
+                self.params, ids_dev, lengths_dev,
+                self._next_seed(None if base is None else base + i),
+                total_frames=t_bucket, temperature=temperature,
+                use_postnet=self.use_postnet, upsample=self.upsample,
+                mrf_impl=self.mrf_impl, pcm16=pcm16,
+            )
+            return audio, n_frames, deficit
+
+        hop = self.config.hifigan.total_upsample
+        dtype = np.int16 if pcm16 else np.float32
+
+        def collect(disp):
+            audio_np, n_frames, deficit = jax.device_get(disp)
+            self._count_overflows(np.asarray(deficit)[:1])
+            n = int(np.asarray(n_frames).astype(np.int64)[0])
+            return np.asarray(audio_np, dtype)[0][: n * hop]
+
+        pending = dispatch(0, chunks[0])
+        for i in range(1, len(chunks)):
+            nxt = dispatch(i, chunks[i])
+            yield collect(pending)
+            yield gap
+            pending = nxt
+        yield collect(pending)
 
     def synthesize_to_file(
         self, text: str, path: str | Path, seed: Optional[int] = None

@@ -26,7 +26,7 @@ from iris_tts_tpu.models.hifigan import HiFiGANGenerator
 from iris_tts_tpu.train import TrainState, adam_clipped
 from iris_tts_tpu.train.checkpoint import CheckpointManager
 from iris_tts_tpu.train.gan import make_gan_steps
-from iris_tts_tpu.utils.metrics import MetricsWriter, RunningMean
+from iris_tts_tpu.utils.metrics import MetricsWriter
 from scripts.common import add_common_args, resolve_config, setup_logging
 
 logger = logging.getLogger(__name__)
@@ -197,7 +197,9 @@ def main() -> None:
         )
 
     for epoch in range(start_epoch, cfg.train.num_epochs):
-        rm = RunningMean()
+        # Device-side metric accumulation: float() every step would force a
+        # host sync per batch (the TrainLoop pattern, loop.py:123).
+        sums, n_steps = None, 0
         for batch in batcher.epoch(epoch):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if args.accum_steps > 1:
@@ -206,8 +208,12 @@ def main() -> None:
                 batch = split_microbatches(batch, args.accum_steps)
             disc_state, dm = disc_step(gen_state, disc_state, batch)
             gen_state, gm = gen_step(gen_state, disc_state, batch)
-            rm.update({k: float(v) for k, v in {**dm, **gm}.items()})
-        means = rm.means()
+            m = {**dm, **gm}
+            n_steps += 1
+            sums = m if sums is None else {k: sums[k] + m[k] for k in sums}
+        means = (
+            {k: float(v) / n_steps for k, v in sums.items()} if sums else {}
+        )
         gen_state = gen_state.replace(
             epoch=jnp.asarray(epoch + 1, jnp.int32)
         )

@@ -248,3 +248,52 @@ def test_mesh_training_placement_matches_single_device(devices):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-6
         )
+
+
+def test_mesh_training_with_accumulation(devices):
+    """--mesh + --accum_steps combined: microbatches stack in FRONT, so the
+    data axis shards axis 1 (PartitionSpec(None, 'data')); the accumulated
+    sharded step equals the single-device full-batch step."""
+    import dataclasses
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import optax
+
+    from scripts.common import mesh_training_placement
+
+    from iris_tts_tpu.train import TrainState, split_microbatches
+    from iris_tts_tpu.train.steps import make_duration_train_step
+    from tests.test_train_steps import CFG, _duration_batch, \
+        _init_duration_state
+
+    cfg = dataclasses.replace(
+        CFG,
+        encoder=dataclasses.replace(CFG.encoder, dropout=0.0),
+        duration=dataclasses.replace(CFG.duration, dropout=0.0),
+    )
+    key = jax.random.PRNGKey(12)
+    base = _init_duration_state(key)
+    rng = np.random.default_rng(12)
+    b4 = _duration_batch(rng)
+    # 16 rows = 2 microbatches of 8 (each spreading over the 8 devices).
+    batch = {k: jnp.concatenate([v] * 4) for k, v in b4.items()}
+
+    single = TrainState.create(base.params, optax.sgd(1e-2), key)
+    single, _ = jax.jit(make_duration_train_step(cfg))(single, batch)
+
+    meshed = TrainState.create(base.params, optax.sgd(1e-2), key)
+    meshed, place_batch = mesh_training_placement(meshed, accum_steps=2)
+    placed = place_batch(split_microbatches(batch, 2))
+    assert placed["phoneme_ids"].shape == (2, 8, batch["phoneme_ids"].shape[1])
+    step = jax.jit(make_duration_train_step(cfg, accum_steps=2))
+    meshed, _ = step(meshed, placed)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(meshed.params),
+        jax.tree_util.tree_leaves(single.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        )

@@ -758,6 +758,39 @@ class TTSPipeline:
             return (outs[0], mels[0]) if single else (outs, mels)
         return outs[0] if single else outs
 
+    def _batched_dispatch(
+        self,
+        texts: Sequence[str],
+        seed: Optional[int] = None,
+        temperature: float = 1.0,
+        pcm16: bool = False,
+    ):
+        """The two-stage batched path WITHOUT the final device→host fetch:
+        returns an opaque handle for :meth:`_batched_collect`. Lets a
+        serving loop dispatch batch N+1 while batch N's audio is still in
+        flight to the host (serve/batcher.py). ``synthesize(fused=False)``
+        is dispatch+collect back to back."""
+        enc, frames, t_bucket, _ = self._run_stage_a(texts)
+        audio, _mel, n_frames_arr = self._stage_b(
+            self.params, enc, frames, self._next_seed(seed),
+            total_frames=t_bucket, temperature=temperature,
+            use_postnet=self.use_postnet, upsample=self.upsample,
+            mrf_impl=self.mrf_impl, pcm16=pcm16,
+        )
+        return audio, n_frames_arr, len(texts)
+
+    def _batched_collect(self, disp, pcm16: bool = False):
+        """Fetch + trim a :meth:`_batched_dispatch` handle → list of 1-D
+        waveforms (row order preserved)."""
+        audio, n_frames_arr, n = disp
+        audio_np, n_frames = jax.device_get((audio, n_frames_arr))
+        hop = self.config.hifigan.total_upsample
+        n_frames = np.asarray(n_frames).astype(np.int64)
+        audio_np = np.asarray(audio_np, np.int16 if pcm16 else np.float32)
+        return [
+            a[: int(k) * hop] for a, k in zip(audio_np[:n], n_frames[:n])
+        ]
+
     def synthesize_mel(
         self,
         text: Union[str, Sequence[str]],

@@ -327,19 +327,48 @@ class DynamicBatcher:
         # Bounded device work: at most max_batch rows per dispatch, each
         # slice padded to a power-of-two batch bucket (duplicate rows are
         # synthesized and dropped — cheaper than a fresh XLA compile per
-        # distinct batch size).
+        # distinct batch size). When the pipeline exposes the
+        # dispatch/collect split (TTSPipeline does; AotPipeline does not),
+        # slice N+1 is dispatched before slice N's audio is fetched, so the
+        # device computes ahead of the host transfer.
         outs: List[np.ndarray] = []
-        for lo in range(0, len(flat), self._max_batch):
-            part = flat[lo:lo + self._max_batch]
-            padded = self._pad_to_bucket(part)
-            res = self._pipe.synthesize(
+        split = hasattr(self._pipe, "_batched_dispatch")
+        pending = None  # (handle, real_rows)
+
+        def run(padded):
+            if split:
+                return self._pipe._batched_dispatch(
+                    padded, temperature=group[0].temperature,
+                    seed=group[0].seed, pcm16=self._pcm16,
+                )
+            return self._pipe.synthesize(
                 padded, temperature=group[0].temperature,
                 seed=group[0].seed, fused=False, pcm16=self._pcm16,
             )
-            outs.extend(res[: len(part)])
+
+        for lo in range(0, len(flat), self._max_batch):
+            part = flat[lo:lo + self._max_batch]
+            padded = self._pad_to_bucket(part)
+            res = run(padded)
             self.n_batches += 1
             self.batch_size_hist[len(padded)] = (
                 self.batch_size_hist.get(len(padded), 0) + 1
+            )
+            if not split:
+                outs.extend(res[: len(part)])
+                continue
+            if pending is not None:
+                outs.extend(
+                    self._pipe._batched_collect(
+                        pending[0], pcm16=self._pcm16
+                    )[: pending[1]]
+                )
+            pending = (res, len(part))
+        if pending is not None:
+            outs.extend(
+                self._pipe._batched_collect(
+                    pending[0], pcm16=self._pcm16
+                )[: pending[1]]
             )
         self.n_requests += len(group)
         now = time.monotonic()

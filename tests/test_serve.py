@@ -365,7 +365,9 @@ def test_pcm16_transfer_bitwise_matches_host_quantization(pipeline):
                         pcm16_transfer=True) as b:
         got = b.synthesize("hello world", timeout=300, seed=3)
     assert got.dtype == np.int16
-    want_f = pipeline.synthesize(["hello world"], seed=3, fused=False)[0]
+    # fused=True: the reference path for a single-utterance group (the
+    # batcher's one-dispatch fast path).
+    want_f = pipeline.synthesize("hello world", seed=3, fused=True)
     assert _pcm16le(got) == _pcm16le(want_f)
 
 

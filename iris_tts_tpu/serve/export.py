@@ -351,6 +351,15 @@ class AotPipeline:
         return b_bucket, p_bucket
 
     def _warm_one(self, key) -> None:
+        if key == "vocwin":
+            exp, meta = self._vocwin
+            mel = np.zeros(
+                (1, int(meta["window_frames"]), int(self.manifest["n_mels"])),
+                np.float32,
+            )
+            out = exp.call(jnp.asarray(mel), jnp.asarray(0, jnp.int32))
+            jax.device_get(out)
+            return
         b, p = key
         exp, _e = self._fns[key]
         ids = np.zeros((b, p), np.int32)
@@ -372,7 +381,9 @@ class AotPipeline:
         pays that compile inline, exactly as it would with no warmup.
         ``warm_all_done()`` reports completion (e.g. for /stats).
         """
-        keys = sorted(self._fns)
+        keys = list(sorted(self._fns))
+        if self._vocwin is not None:
+            keys.append("vocwin")
         self._warm_all = threading.Event()
         if not keys:
             self._warm_all.set()

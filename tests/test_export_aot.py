@@ -274,6 +274,8 @@ def test_aot_vocode_streaming_matches_live(pipeline, aot_dir_vocwin):
 
     aot = AotPipeline(aot_dir_vocwin,
                       text_processor=pipeline.text_processor)
+    aot.warmup()  # includes the vocwin executable
+    assert aot.warm_all_done()
     rng = np.random.default_rng(3)
     mel = rng.normal(
         -3.0, 2.0,

@@ -395,3 +395,34 @@ def test_backpressure_rejects_at_queue_limit(pipeline):
     b.start()
     b.stop(timeout=120)
     assert b.stats()["queue_depth"] == 0
+
+
+def test_stream_completes_under_queue_pressure(pipeline):
+    """An admitted stream finishes all its sentences even when the queue
+    hits the admission limit mid-stream (continuation chunks bypass
+    admission); a NEW request at that moment gets the 503."""
+    srv = TTSServer(pipeline, host="127.0.0.1", port=0, max_wait_ms=1.0,
+                    max_queue=1)
+    srv.start()
+    try:
+        srv.batcher.synthesize("warm", timeout=300)
+        sent = "the quick brown fox jumps over the lazy dog."
+        text = " ".join([sent] * 3)
+        n_chunks = len(srv.batcher.chunk_text(text))
+        assert n_chunks >= 3
+        host, port = srv.address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=300)
+        try:
+            conn.request("POST", "/synthesize_stream",
+                         body=json.dumps({"text": text, "seed": 1}),
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            chunks = _read_chunked(resp)
+            # every sentence + every gap arrived (stream not truncated)
+            assert len(chunks) == 2 * n_chunks - 1
+            assert all(len(c) > 0 for c in chunks)
+        finally:
+            conn.close()
+    finally:
+        srv.stop()

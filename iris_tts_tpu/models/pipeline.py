@@ -1008,10 +1008,13 @@ class TTSPipeline:
                 )
             return
 
-        # One-chunk lookahead: chunk i+1 is dispatched (async) before chunk
-        # i's device→host fetch, so the device computes the next sentence
-        # while the consumer plays the current one. Outputs are identical
-        # to the sequential path — only the overlap changes.
+        # One-chunk lookahead FROM THE SECOND CHUNK ON: chunk i+1 is
+        # dispatched (async) before chunk i's device→host fetch, so the
+        # device computes the next sentence while the consumer plays the
+        # current one. The FIRST chunk is collected before any lookahead —
+        # time-to-first-audio must never wait on chunk 2's (possibly
+        # cold-bucket compile) dispatch. Outputs are identical to the
+        # sequential path — only the overlap changes.
         def dispatch(i, chunk):
             ids_np, lengths = self._encode_texts([chunk])
             t_bucket = self._fused_frame_budget(lengths)
@@ -1034,13 +1037,26 @@ class TTSPipeline:
             n = int(np.asarray(n_frames).astype(np.int64)[0])
             return np.asarray(audio_np, dtype)[0][: n * hop]
 
-        pending = dispatch(0, chunks[0])
+        yield collect(dispatch(0, chunks[0]))  # TTFA: chunk 0 alone
+        pending = None
+        err = None
         for i in range(1, len(chunks)):
-            nxt = dispatch(i, chunks[i])
-            yield collect(pending)
-            yield gap
+            try:
+                nxt = dispatch(i, chunks[i])
+            except Exception as e:  # noqa: BLE001 — flush finished audio
+                # A lookahead failure must not swallow the PREVIOUS chunk,
+                # whose audio is already computed on device.
+                err = e
+                break
+            if pending is not None:
+                yield gap
+                yield collect(pending)
             pending = nxt
-        yield collect(pending)
+        if pending is not None:
+            yield gap
+            yield collect(pending)
+        if err is not None:
+            raise err
 
     def synthesize_to_file(
         self, text: str, path: str | Path, seed: Optional[int] = None

@@ -199,9 +199,15 @@ class DynamicBatcher:
 
     def warmup(self) -> None:
         """Pre-compile every batch bucket (stage A + B at the smallest
-        phoneme/frame buckets) so live traffic never waits on a
-        first-compile — on tunneled TPU backends the FIRST compile of a
-        process can take minutes, far past any sane request timeout."""
+        phoneme/frame buckets) AND the fused single-utterance executable
+        (the fast path single-item groups take) so live traffic never
+        waits on a first-compile — on tunneled TPU backends the FIRST
+        compile of a process can take minutes, far past any sane request
+        timeout."""
+        self._pipe.synthesize(
+            "warm up the jit cache.", fused=True, seed=0,
+            pcm16=self._pcm16,
+        )
         for b in self._batch_buckets:
             self._pipe.synthesize(
                 ["warm up the jit cache."] * b, fused=False, seed=0,
@@ -332,10 +338,23 @@ class DynamicBatcher:
             # (~1e-12: the padded frame bucket differs, the counter-based
             # PRNG keeps the real frames' noise identical).
             it = group[0]
+            before = getattr(self._pipe, "fused_overflow_count", 0)
             audio = self._pipe.synthesize(
                 flat[0], temperature=it.temperature, seed=it.seed,
                 fused=True, pcm16=self._pcm16,
             )
+            if (
+                getattr(self._pipe, "fused_overflow_count", 0) > before
+                and hasattr(self._pipe, "_batched_dispatch")
+            ):
+                # The prediction overflowed the fused frame budget, so the
+                # fused output compressed the speech rate. Redo on the
+                # two-stage path (measured frame bucket, correct rate) —
+                # quality beats the saved round trip in this rare case.
+                audio = self._pipe.synthesize(
+                    [flat[0]], temperature=it.temperature, seed=it.seed,
+                    fused=False, pcm16=self._pcm16,
+                )[0]
             self.n_batches += 1
             self.batch_size_hist[1] = self.batch_size_hist.get(1, 0) + 1
             self.n_requests += 1
@@ -368,6 +387,14 @@ class DynamicBatcher:
                 seed=group[0].seed, fused=False, pcm16=self._pcm16,
             )
 
+        def flush(handle):
+            if handle is not None:
+                outs.extend(
+                    self._pipe._batched_collect(
+                        handle[0], pcm16=self._pcm16
+                    )[: handle[1]]
+                )
+
         for lo in range(0, len(flat), self._max_batch):
             part = flat[lo:lo + self._max_batch]
             padded = self._pad_to_bucket(part)
@@ -379,19 +406,9 @@ class DynamicBatcher:
             if not split:
                 outs.extend(res[: len(part)])
                 continue
-            if pending is not None:
-                outs.extend(
-                    self._pipe._batched_collect(
-                        pending[0], pcm16=self._pcm16
-                    )[: pending[1]]
-                )
+            flush(pending)
             pending = (res, len(part))
-        if pending is not None:
-            outs.extend(
-                self._pipe._batched_collect(
-                    pending[0], pcm16=self._pcm16
-                )[: pending[1]]
-            )
+        flush(pending)
         self.n_requests += len(group)
         now = time.monotonic()
         pos = 0

@@ -87,6 +87,11 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self) -> list:
+        """Retained checkpoint steps, ascending (public accessor so tools
+        like scripts/average_checkpoints.py never touch the orbax handle)."""
+        return sorted(self._mgr.all_steps())
+
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of ``state_template`` (same pytree,
         abstract or concrete arrays)."""

@@ -36,7 +36,7 @@ def average_stage_params(stage_dir: str | Path, last: int = 5,
     the last ``last`` retained steps). Returns (avg_params, used_steps)."""
     mgr = CheckpointManager(Path(stage_dir))
     try:
-        all_steps = sorted(mgr._mgr.all_steps())
+        all_steps = mgr.all_steps()
         if not all_steps:
             raise FileNotFoundError(f"no checkpoints in {stage_dir}")
         if steps is None:

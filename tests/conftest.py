@@ -49,3 +49,22 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(1337)
+
+
+@pytest.fixture(scope="session")
+def pjrt_runner_bin():
+    """The native PJRT host binary, built on demand (shared by
+    test_pjrt_runner.py and the npy fuzz property test)."""
+    import subprocess
+    from pathlib import Path
+
+    native = Path(__file__).resolve().parent.parent / "native"
+    binary = native / "pjrt_runner"
+    if not binary.exists():
+        r = subprocess.run(
+            ["make", "-C", str(native), "pjrt_runner"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"no C++ toolchain: {r.stderr[-300:]}")
+    return binary

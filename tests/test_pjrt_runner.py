@@ -22,15 +22,8 @@ LIBTPU = Path(
 
 
 @pytest.fixture(scope="module")
-def runner():
-    if not RUNNER.exists():
-        r = subprocess.run(
-            ["make", "-C", str(NATIVE), "pjrt_runner"],
-            capture_output=True, text=True, timeout=180,
-        )
-        if r.returncode != 0:
-            pytest.skip(f"no C++ toolchain: {r.stderr[-300:]}")
-    return RUNNER
+def runner(pjrt_runner_bin):
+    return pjrt_runner_bin
 
 
 @pytest.mark.parametrize(

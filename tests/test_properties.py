@@ -103,14 +103,12 @@ def test_normalize_text_idempotent_and_total(text):
 
 @settings(max_examples=25, deadline=None)
 @given(data=st.data())
-def test_native_npy_reader_rejects_hostile_bytes(tmp_path_factory, data):
+def test_native_npy_reader_rejects_hostile_bytes(
+    pjrt_runner_bin, tmp_path_factory, data
+):
     """Truncations/mutations of a valid .npy must produce a clean nonzero
     exit from the native reader — never a crash signal or a hang."""
-    runner = Path(__file__).resolve().parent.parent / "native/pjrt_runner"
-    if not runner.exists():
-        import pytest
-
-        pytest.skip("pjrt_runner not built")
+    runner = pjrt_runner_bin
     tmp = tmp_path_factory.mktemp("fuzz")
     base = tmp / "base.npy"
     np.save(base, np.arange(24, dtype=np.float32).reshape(4, 6))

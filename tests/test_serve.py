@@ -398,9 +398,10 @@ def test_backpressure_rejects_at_queue_limit(pipeline):
 
 
 def test_stream_completes_under_queue_pressure(pipeline):
-    """An admitted stream finishes all its sentences even when the queue
-    hits the admission limit mid-stream (continuation chunks bypass
-    admission); a NEW request at that moment gets the 503."""
+    """An admitted stream finishes all its sentences even while competing
+    traffic saturates the admission limit (continuation chunks bypass
+    admission — without the bypass a 503 mid-stream truncates the chunked
+    body); concurrent NEW requests get 200 or a clean 503, never a hang."""
     srv = TTSServer(pipeline, host="127.0.0.1", port=0, max_wait_ms=1.0,
                     max_queue=1)
     srv.start()
@@ -411,11 +412,32 @@ def test_stream_completes_under_queue_pressure(pipeline):
         n_chunks = len(srv.batcher.chunk_text(text))
         assert n_chunks >= 3
         host, port = srv.address[:2]
+
+        # Competing traffic hammering the 1-deep queue while the stream
+        # runs: each gets 200 or a clean 503 + Retry-After.
+        competitor_codes = []
+
+        def compete():
+            for _ in range(4):
+                c = http.client.HTTPConnection(host, port, timeout=300)
+                try:
+                    c.request("POST", "/synthesize",
+                              body=json.dumps({"text": "contender"}),
+                              headers={"Content-Type": "application/json"})
+                    r = c.getresponse()
+                    r.read()
+                    competitor_codes.append(r.status)
+                finally:
+                    c.close()
+
+        threads = [threading.Thread(target=compete) for _ in range(4)]
         conn = http.client.HTTPConnection(host, port, timeout=300)
         try:
             conn.request("POST", "/synthesize_stream",
                          body=json.dumps({"text": text, "seed": 1}),
                          headers={"Content-Type": "application/json"})
+            for t in threads:
+                t.start()
             resp = conn.getresponse()
             assert resp.status == 200
             chunks = _read_chunked(resp)
@@ -424,5 +446,8 @@ def test_stream_completes_under_queue_pressure(pipeline):
             assert all(len(c) > 0 for c in chunks)
         finally:
             conn.close()
+            for t in threads:
+                t.join(timeout=300)
+        assert competitor_codes and set(competitor_codes) <= {200, 503}
     finally:
         srv.stop()

@@ -101,8 +101,12 @@ def main() -> None:
         # Compile EVERY batch bucket before accepting traffic: on tunneled
         # backends the first compile of a process can take minutes, so live
         # requests must never be the ones paying it.
-        logger.info("warmup compile (all batch buckets)...")
+        logger.info("warmup compile (all batch buckets + fused path)...")
         pcm16 = not args.float_transfer
+        # Fused single-utterance executable: the batcher's fast path for
+        # seeded/streaming/light-traffic requests.
+        pipe.synthesize("warm up the jit cache.", fused=True, seed=0,
+                        pcm16=pcm16)
         b = 1
         while b < args.max_batch:
             pipe.synthesize(

@@ -134,3 +134,35 @@ def test_native_npy_reader_rejects_hostile_bytes(
     # Either the mutation kept it valid (rc 0) or it failed CLEANLY:
     # returncode 1 with a message, not a signal (negative returncode).
     assert r.returncode in (0, 1), (r.returncode, r.stderr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+        max_size=80,
+    )
+)
+def test_frontend_total_on_arbitrary_unicode(text):
+    """text_to_ids is total: any unicode input yields a non-empty int id
+    list within the vocab, never an exception (the serving admission path
+    runs this on raw client text)."""
+    from iris_tts_tpu.text.frontend import create_text_processor
+    from iris_tts_tpu.text.phonemes import PhonemeVocab
+
+    tp = _cached_tp()
+    vocab = PhonemeVocab.default_arpabet()
+    ids = tp.text_to_ids(text, vocab)
+    assert len(ids) >= 1
+    assert all(0 <= int(i) < len(vocab) for i in ids)
+
+
+_TP = []
+
+
+def _cached_tp():
+    if not _TP:
+        from iris_tts_tpu.text.frontend import create_text_processor
+
+        _TP.append(create_text_processor())
+    return _TP[0]

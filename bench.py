@@ -181,30 +181,54 @@ def main() -> None:
     mrf_impl = "xla" if on_cpu else os.environ.get("IRIS_MRF_IMPL", "xla")
 
     @jax.jit
-    def synth(params, ids, lengths, seed):
+    def synth(params, ids, lengths, seed, acc):
         enc, frames, _ = pipe._stage_a_fn(params, ids, lengths)
         audio, mel, n_frames = pipe._stage_b_fn(
             params, enc, frames, seed, total_frames=T, mrf_impl=mrf_impl
         )
-        return audio
+        # Accumulate a checksum ON DEVICE: the final host fetch of ``acc``
+        # forces every chained iteration (block_until_ready does not reliably
+        # block on tunneled backends), so steady state is measured with the
+        # dispatches pipelined — one host round trip per LOOP, not per step.
+        # This is how the serving batcher actually runs (slice lookahead,
+        # serve/batcher.py), so it is the honest device-throughput number.
+        return audio, acc + jnp.sum(audio, dtype=jnp.float32)
 
-    # NOTE: force a host transfer of a reduction each iteration —
-    # block_until_ready alone does not reliably block on tunneled backends.
     t0 = time.time()
-    audio = synth(pipe.params, ids, lengths, key)
-    checksum = float(jnp.sum(audio))
+    acc = jnp.float32(0)
+    audio, acc = synth(pipe.params, ids, lengths, key, acc)
+    checksum = float(acc)
     compile_s = time.time() - t0
     print(
         f"bench: compile+first run = {compile_s:.1f}s (sum={checksum:.3f})",
         file=sys.stderr,
     )
 
-    # Steady state.
+    # Steady state, pipelined: one forcing fetch after n_iters chained steps.
+    acc = jnp.float32(0)
     t0 = time.time()
     for i in range(n_iters):
-        audio = synth(pipe.params, ids, lengths, jnp.asarray(i, jnp.int32))
-        float(jnp.sum(audio))
+        audio, acc = synth(
+            pipe.params, ids, lengths, jnp.asarray(i, jnp.int32), acc
+        )
+    float(acc)
     wall = (time.time() - t0) / n_iters
+
+    # Diagnostic: the same loop with a per-step forcing fetch (adds the
+    # fixed per-dispatch tunnel round trip to every step).
+    t0 = time.time()
+    for i in range(n_iters):
+        _, a = synth(
+            pipe.params, ids, lengths, jnp.asarray(i, jnp.int32),
+            jnp.float32(0),
+        )
+        float(a)
+    wall_synced = (time.time() - t0) / n_iters
+    print(
+        f"bench: per-dispatch-synced steady state = {wall_synced*1e3:.1f} ms"
+        f" ({B*T/wall_synced:.0f} mel frames/s)",
+        file=sys.stderr,
+    )
 
     sr = cfg.audio.sample_rate
     audio_seconds = audio.shape[0] * audio.shape[1] / sr

@@ -190,6 +190,52 @@ def test_hifigan_512ch_tensor_parallel_equality(devices):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=2e-5)
 
 
+def test_vocode_sharded_equality(devices):
+    """Sequence-parallel vocoding (TTSPipeline.vocode_sharded): the mel
+    TIME axis split into receptive-field-overlap windows, one per device
+    of an 8-device mesh, reassembles to the SAME samples as the full
+    single-dispatch vocode — including an uneven length that exercises
+    the boundary-aligned last window and host trimming."""
+    from tests.test_pipeline import _small_config
+    from iris_tts_tpu.models import TTSPipeline
+
+    pipe = TTSPipeline.initialize(_small_config(), seed=0)
+    up = pipe.config.hifigan.total_upsample
+    n_mels = pipe.config.hifigan.in_channels
+    rng = np.random.default_rng(7)
+    mesh = build_mesh(MeshConfig(data_parallel=8, model_parallel=1), devices)
+
+    for t in (200, 203):  # even and uneven splits
+        mel = rng.standard_normal((t, n_mels)).astype(np.float32)
+        want = pipe.vocode(mel)
+        got = pipe.vocode_sharded(mel, mesh)
+        assert got.shape == want.shape == (t * up,)
+        np.testing.assert_array_equal(got, want)
+
+    # pcm16 device-side quantization matches host quantization of vocode
+    mel = rng.standard_normal((160, n_mels)).astype(np.float32)
+    want16 = (
+        np.clip(pipe.vocode(mel), -1.0, 1.0) * 32767.0
+    ).astype(np.int16)
+    got16 = pipe.vocode_sharded(mel, mesh, pcm16=True)
+    assert got16.dtype == np.int16
+    np.testing.assert_array_equal(got16, want16)
+
+    # short-mel fallback goes through the plain full pass
+    short = rng.standard_normal((8, n_mels)).astype(np.float32)
+    np.testing.assert_array_equal(
+        pipe.vocode_sharded(short, mesh), pipe.vocode(short)
+    )
+
+    # window lanes span BOTH axes of a (data, model) mesh
+    cfg = MeshConfig(data_parallel=4, model_parallel=2)
+    mesh42 = build_mesh(cfg, devices)
+    mel = rng.standard_normal((192, n_mels)).astype(np.float32)
+    np.testing.assert_array_equal(
+        pipe.vocode_sharded(mel, mesh42), pipe.vocode(mel)
+    )
+
+
 def test_mesh_training_placement_matches_single_device(devices):
     """The training CLIs' --mesh wiring (scripts.common
     mesh_training_placement): 3 data-parallel duration-train steps on the

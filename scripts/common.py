@@ -112,33 +112,56 @@ def add_mesh_arg(parser: argparse.ArgumentParser) -> None:
         "gradient psums (new capability beyond the single-device "
         "reference, SURVEY.md §2.4)",
     )
+    parser.add_argument(
+        "--model_parallel", type=int, default=1,
+        help="with --mesh: split the mesh (all_devices/N, N) and shard "
+        "wide trailing parameter dims (conv output channels, FFN widths) "
+        "over the model axis — params, optimizer moments, and their "
+        "gradients then live sharded, cutting per-device state memory "
+        "~1/N for the wide layers",
+    )
 
 
-def mesh_training_placement(state, accum_steps: int = 1):
-    """Place a TrainState + per-step batches for data-parallel training.
+def mesh_training_placement(
+    state, accum_steps: int = 1, model_parallel: int = 1
+):
+    """Place a TrainState + per-step batches for mesh training.
 
-    Returns ``(state, place_batch)``: the state with every array leaf
-    replicated across a ``(data, model)`` mesh of all visible devices, and
-    a function that device_puts a host batch with its batch axis sharded
-    over ``data`` (axis 1 when gradient accumulation stacks microbatches in
-    front — each microbatch then spreads over the mesh). The jitted train
-    step itself is untouched: GSPMD reads the shardings and inserts the
+    Returns ``(state, place_batch)``: the state placed across a
+    ``(data, model)`` mesh of all visible devices, and a function that
+    device_puts a host batch with its batch axis sharded over ``data``
+    (axis 1 when gradient accumulation stacks microbatches in front —
+    each microbatch then spreads over the mesh). The jitted train step
+    itself is untouched: GSPMD reads the shardings and inserts the
     cross-device gradient reductions. Masked losses stay exact under the
     batcher's padded remainder rows because their denominators are global
     mask sums.
+
+    ``model_parallel > 1`` additionally tensor-shards the state: every
+    array leaf goes through the serving TP rule
+    (:func:`iris_tts_tpu.parallel.sharding.tp_param_sharding` — trailing
+    output-channel dims over the ``model`` axis where wide enough and
+    evenly divisible, everything else replicated). Optimizer moments and
+    the EMA average have param shapes, so they shard identically and the
+    whole optimizer state scales ~1/N in per-device memory for the wide
+    layers. Gradients inherit the param shardings from XLA's propagation.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec
 
     from iris_tts_tpu.config import MeshConfig
     from iris_tts_tpu.parallel.mesh import build_mesh, replicated
+    from iris_tts_tpu.parallel.sharding import tp_param_sharding
 
-    cfg = MeshConfig()
+    cfg = MeshConfig(model_parallel=model_parallel)
     mesh = build_mesh(cfg)
-    rep = replicated(mesh)
-    state = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, rep), state
-    )
+    if model_parallel > 1:
+        state = tp_param_sharding(state, mesh, cfg)
+    else:
+        rep = replicated(mesh)
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), state
+        )
     spec = (
         PartitionSpec(None, cfg.data_axis)
         if accum_steps > 1
@@ -152,6 +175,7 @@ def mesh_training_placement(state, accum_steps: int = 1):
         )
 
     logging.getLogger(__name__).info(
-        "data-parallel training on %s", dict(mesh.shape)
+        "mesh training on %s (%s)", dict(mesh.shape),
+        "data+tensor parallel" if model_parallel > 1 else "data parallel",
     )
     return state, place_batch

@@ -110,7 +110,8 @@ def main() -> None:
     place_batch = lambda b: b  # noqa: E731 — identity off-mesh
     if args.mesh:
         state, place_batch = mesh_training_placement(
-            state, accum_steps=args.accum_steps
+            state, accum_steps=args.accum_steps,
+            model_parallel=args.model_parallel,
         )
 
     raw_step = jax.jit(

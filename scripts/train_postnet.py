@@ -122,7 +122,9 @@ def main() -> None:
     raw_step = jax.jit(make_postnet_train_step(cfg))
     train_step = raw_step
     if args.mesh:
-        state, place_batch = mesh_training_placement(state)
+        state, place_batch = mesh_training_placement(
+            state, model_parallel=args.model_parallel
+        )
 
         def train_step(state, batch, *extras):
             return raw_step(state, place_batch(batch), *extras)

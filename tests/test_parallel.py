@@ -296,6 +296,68 @@ def test_mesh_training_placement_matches_single_device(devices):
         )
 
 
+def test_mesh_training_tensor_parallel_matches_single_device(devices):
+    """--mesh --model_parallel 2: params AND optimizer moments tensor-shard
+    over the model axis of a 4x2 mesh (trailing output-channel dims via the
+    serving TP rule) while the batch shards over data. 3 duration-train
+    steps match single-device training — GSPMD's inserted psums for the
+    sharded backward contractions reassociate floats, hence the slightly
+    looser tolerance than the pure-DP test above."""
+    import dataclasses
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from scripts.common import mesh_training_placement
+
+    import optax
+
+    from iris_tts_tpu.train import TrainState
+    from iris_tts_tpu.train.steps import make_duration_train_step
+    from tests.test_train_steps import CFG, _duration_batch, \
+        _init_duration_state
+
+    cfg = dataclasses.replace(
+        CFG,
+        encoder=dataclasses.replace(CFG.encoder, dropout=0.0),
+        duration=dataclasses.replace(CFG.duration, dropout=0.0),
+    )
+    key = jax.random.PRNGKey(13)
+    base = _init_duration_state(key)
+    rng = np.random.default_rng(13)
+    b4 = _duration_batch(rng)
+    batch = {k: jnp.concatenate([v, v]) for k, v in b4.items()}
+
+    step = jax.jit(make_duration_train_step(cfg))
+    single = TrainState.create(base.params, optax.sgd(1e-2), key)
+    for _ in range(3):
+        single, m_single = step(single, batch)
+
+    meshed = TrainState.create(base.params, optax.sgd(1e-2), key)
+    meshed, place_batch = mesh_training_placement(meshed, model_parallel=2)
+    # at least one wide param leaf (and its Adam-shaped shadow in the opt
+    # state, if any) is actually SHARDED, not replicated
+    sharded_leaves = [
+        x for x in jax.tree_util.tree_leaves(meshed.params)
+        if hasattr(x, "sharding") and not x.sharding.is_fully_replicated
+    ]
+    assert sharded_leaves, "model_parallel=2 placed nothing sharded"
+    placed = place_batch(batch)
+    assert len(placed["phoneme_ids"].sharding.device_set) == 8
+    for _ in range(3):
+        meshed, m_mesh = step(meshed, placed)
+
+    np.testing.assert_allclose(
+        float(m_mesh["duration_loss"]), float(m_single["duration_loss"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(meshed.params),
+        jax.tree_util.tree_leaves(single.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_mesh_training_with_accumulation(devices):
     """--mesh + --accum_steps combined: microbatches stack in FRONT, so the
     data axis shards axis 1 (PartitionSpec(None, 'data')); the accumulated

@@ -27,7 +27,13 @@ from iris_tts_tpu.train import TrainState, adam_clipped
 from iris_tts_tpu.train.checkpoint import CheckpointManager
 from iris_tts_tpu.train.gan import make_gan_steps
 from iris_tts_tpu.utils.metrics import MetricsWriter
-from scripts.common import add_common_args, resolve_config, setup_logging
+from scripts.common import (
+    add_common_args,
+    add_mesh_arg,
+    mesh_training_placement,
+    resolve_config,
+    setup_logging,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -104,6 +110,7 @@ def main() -> None:
         help="gradient-accumulation microbatches per optimizer update on "
         "both GAN sides (effective batch = accum_steps * batch_size)",
     )
+    add_mesh_arg(parser)
     parser.add_argument(
         "--ema_decay", type=float, default=0.0,
         help="exponential-moving-average decay for the generator params "
@@ -196,6 +203,20 @@ def main() -> None:
             "balance", g_step, d_step,
         )
 
+    place_batch = lambda b: b  # noqa: E731 — identity off-mesh
+    if args.mesh:
+        # Both sides place identically (mesh placement after resume so
+        # restored host arrays get sharded too). Batches shard over data;
+        # --model_parallel additionally tensor-shards params + moments.
+        gen_state, place_batch = mesh_training_placement(
+            gen_state, accum_steps=args.accum_steps,
+            model_parallel=args.model_parallel,
+        )
+        disc_state, _ = mesh_training_placement(
+            disc_state, accum_steps=args.accum_steps,
+            model_parallel=args.model_parallel,
+        )
+
     for epoch in range(start_epoch, cfg.train.num_epochs):
         # Device-side metric accumulation: float() every step would force a
         # host sync per batch (the TrainLoop pattern, loop.py:123).
@@ -206,6 +227,7 @@ def main() -> None:
                 from iris_tts_tpu.train import split_microbatches
 
                 batch = split_microbatches(batch, args.accum_steps)
+            batch = place_batch(batch)
             disc_state, dm = disc_step(gen_state, disc_state, batch)
             gen_state, gm = gen_step(gen_state, disc_state, batch)
             m = {**dm, **gm}

@@ -358,6 +358,82 @@ def test_mesh_training_tensor_parallel_matches_single_device(devices):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_gan_mesh_training_matches_single_device(devices):
+    """train_hifigan --mesh wiring: one alternating disc+gen GAN round with
+    both TrainStates mesh-placed and the (mel, audio) batch sharded over
+    data matches the single-device round (SGD for the linear-in-grads
+    comparison, as in the other placement tests)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import optax
+
+    from scripts.common import mesh_training_placement
+
+    from iris_tts_tpu.models.discriminators import HiFiGANDiscriminators
+    from iris_tts_tpu.models.hifigan import HiFiGANGenerator
+    from iris_tts_tpu.train import TrainState
+    from iris_tts_tpu.train.gan import make_gan_steps
+    from tests.test_gan import _CFG as cfg
+
+    key = jax.random.PRNGKey(5)
+    k_g, k_d = jax.random.split(key)
+    T = 16
+    hop = cfg.hifigan.total_upsample
+    gen = HiFiGANGenerator(config=cfg.hifigan)
+    disc = HiFiGANDiscriminators(periods=(2,), num_scales=1, width=0.05)
+    p_gen = jax.jit(gen.init)(
+        k_g, jnp.zeros((1, T, cfg.hifigan.in_channels))
+    )["params"]
+    p_disc = jax.jit(disc.init)(k_d, jnp.zeros((1, T * hop)))["params"]
+    rng = np.random.default_rng(5)
+    batch = {
+        "mel": jnp.asarray(
+            rng.standard_normal((8, T, cfg.hifigan.in_channels)),
+            jnp.float32,
+        ),
+        "audio": jnp.asarray(
+            0.3 * rng.standard_normal((8, T * hop)), jnp.float32
+        ),
+    }
+    disc_step, gen_step = make_gan_steps(cfg, periods=(2,), num_scales=1,
+                                         disc_width=0.05)
+    disc_step, gen_step = jax.jit(disc_step), jax.jit(gen_step)
+
+    def one_round(g, d, b):
+        d, dm = disc_step(g, d, b)
+        g, gm = gen_step(g, d, b)
+        return g, d, {**dm, **gm}
+
+    g1 = TrainState.create(p_gen, optax.sgd(1e-3), k_g)
+    d1 = TrainState.create(p_disc, optax.sgd(1e-3), k_d)
+    g1, d1, m1 = one_round(g1, d1, batch)
+
+    g2 = TrainState.create(p_gen, optax.sgd(1e-3), k_g)
+    d2 = TrainState.create(p_disc, optax.sgd(1e-3), k_d)
+    g2, place_batch = mesh_training_placement(g2)
+    d2, _ = mesh_training_placement(d2)
+    placed = place_batch(batch)
+    assert len(placed["mel"].sharding.device_set) == 8
+    g2, d2, m2 = one_round(g2, d2, placed)
+
+    np.testing.assert_allclose(
+        float(m2["disc_loss"]), float(m1["disc_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m2["gen_total"]), float(m1["gen_total"]), rtol=1e-5
+    )
+    for side1, side2 in ((g1, g2), (d1, d2)):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(side2.params),
+            jax.tree_util.tree_leaves(side1.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-6
+            )
+
+
 def test_mesh_training_with_accumulation(devices):
     """--mesh + --accum_steps combined: microbatches stack in FRONT, so the
     data axis shards axis 1 (PartitionSpec(None, 'data')); the accumulated

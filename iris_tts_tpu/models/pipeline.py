@@ -481,10 +481,14 @@ class TTSPipeline:
             upsample,
         )
 
-    def _fused_fn(self, params, ids, lengths, seed, *, total_frames,
-                  temperature=1.0, use_postnet=True, upsample="hard",
-                  mrf_impl="xla", pcm16=False):
-        """Single-dispatch serving path: stage A + stage B in ONE executable.
+    def _fused_mel_fn(self, params, ids, lengths, seed, *, total_frames,
+                      temperature=1.0, use_postnet=True, upsample="hard"):
+        """Text → mel core of the fused path (everything but the vocoder)
+        in ONE executable: encoder + duration + budget compression +
+        length-regulate + VAE + PostNet. Returns (mel, per-row frame
+        counts, per-row deficit). This is also the stage-1 executable for
+        pipeline-parallel serving (parallel/pp.py), where the vocoder runs
+        on a different device group.
 
         The frame budget is estimated on the host from the phoneme count
         (``fused_frames_per_phoneme``) instead of the predicted durations, so
@@ -519,6 +523,18 @@ class TTSPipeline:
         mel, n_frames = self._acoustic(
             params, enc, frames, seed, total_frames, temperature, use_postnet,
             upsample,
+        )
+        return mel, n_frames, deficit
+
+    def _fused_fn(self, params, ids, lengths, seed, *, total_frames,
+                  temperature=1.0, use_postnet=True, upsample="hard",
+                  mrf_impl="xla", pcm16=False):
+        """Single-dispatch serving path: stage A + stage B in ONE executable
+        (:meth:`_fused_mel_fn` + the vocoder)."""
+        mel, n_frames, deficit = self._fused_mel_fn(
+            params, ids, lengths, seed, total_frames=total_frames,
+            temperature=temperature, use_postnet=use_postnet,
+            upsample=upsample,
         )
         audio = self._apply_hifigan(params, mel, mrf_impl)
         return self._maybe_pcm16(audio, pcm16), mel, n_frames, deficit

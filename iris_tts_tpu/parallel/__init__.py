@@ -8,8 +8,10 @@ from iris_tts_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from iris_tts_tpu.parallel.pp import PipelineParallelSynthesizer
 
 __all__ = [
+    "PipelineParallelSynthesizer",
     "build_mesh",
     "data_sharding",
     "initialize_multihost",

@@ -358,6 +358,55 @@ def test_mesh_training_tensor_parallel_matches_single_device(devices):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_pipeline_parallel_synthesizer_matches_fused(devices):
+    """Two-stage pipeline parallelism (parallel/pp.py): text→mel on one
+    4-device group, vocoder on the other, batches streaming through both.
+    Per-batch outputs must match the single-group fused path for the same
+    seeds (the stage split cuts the fused executable at the mel boundary;
+    same ops, so CPU results agree to float-reassociation tolerance)."""
+    from tests.test_pipeline import _small_config
+    from iris_tts_tpu.models import TTSPipeline
+    from iris_tts_tpu.parallel import PipelineParallelSynthesizer
+
+    pipe = TTSPipeline.initialize(_small_config(), seed=0)
+    pp = PipelineParallelSynthesizer(pipe, devices, split=4, inflight=2)
+    batches = [
+        ["hello world", "pipeline parallel"],
+        ["the quick brown fox", "jumps over", "the lazy dog", "again"],
+        ["single"],
+    ]
+    got = list(pp.synthesize_batches(batches, seed=3))
+    assert [len(g) for g in got] == [2, 4, 1]
+    for texts, outs in zip(batches, got):
+        want = pipe.synthesize(texts, seed=3, fused=True)
+        if isinstance(want, np.ndarray):
+            want = [want]
+        for g, w in zip(outs, want):
+            assert g.shape == w.shape
+            np.testing.assert_allclose(g, w, atol=1e-6, rtol=1e-5)
+
+    # pcm16 rides the stage-2 executable
+    outs16 = pp.synthesize(["quantized on device"], seed=1, pcm16=True)
+    want16 = pipe.synthesize("quantized on device", seed=1, fused=True,
+                             pcm16=True)
+    assert outs16[0].dtype == np.int16
+    np.testing.assert_allclose(
+        outs16[0].astype(np.int32), want16.astype(np.int32), atol=1
+    )
+
+    # uneven split and guards
+    pp31 = PipelineParallelSynthesizer(pipe, devices[:4], split=3)
+    np.testing.assert_allclose(
+        pp31.synthesize(["uneven groups"], seed=2)[0],
+        pipe.synthesize("uneven groups", seed=2, fused=True),
+        atol=1e-6, rtol=1e-5,
+    )
+    with pytest.raises(ValueError):
+        PipelineParallelSynthesizer(pipe, devices[:1])
+    with pytest.raises(ValueError):
+        PipelineParallelSynthesizer(pipe, devices, split=8)
+
+
 def test_gan_mesh_training_matches_single_device(devices):
     """train_hifigan --mesh wiring: one alternating disc+gen GAN round with
     both TrainStates mesh-placed and the (mel, audio) batch sharded over

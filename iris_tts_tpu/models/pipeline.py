@@ -70,6 +70,25 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def mel_time_major(mel: np.ndarray, n_mels: int) -> np.ndarray:
+    """Normalize a mel to time-major ``[..., T, n_mels]``, accepting the
+    reference layout ``[..., n_mels, T]`` (data.py:121 emits channel-major).
+    Raises when neither of the two trailing axes is ``n_mels``-sized."""
+    if mel.shape[-1] != n_mels:
+        if mel.ndim < 2 or mel.shape[-2] != n_mels:
+            raise ValueError(
+                f"mel shape {mel.shape} has no {n_mels}-sized axis"
+            )
+        mel = np.swapaxes(mel, -1, -2)
+    return mel
+
+
+def host_pcm16(audio: np.ndarray) -> np.ndarray:
+    """float waveform → int16 PCM on the host (same truncation semantics
+    as the on-device ``_maybe_pcm16`` path — contracts must not diverge)."""
+    return (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+
+
 @dataclass
 class TTSPipeline:
     """End-to-end text-to-speech pipeline (public API parity with the
@@ -148,8 +167,8 @@ class TTSPipeline:
         )
         self._vocode_sp = jax.jit(
             self._vocode_sp_fn,
-            static_argnames=("mesh", "w0s", "starts_f", "chunk_frames",
-                             "window_frames", "mrf_impl", "pcm16"),
+            static_argnames=("mesh", "chunk_frames", "window_frames",
+                             "mrf_impl", "pcm16"),
         )
         # Fused-path overflow observability (VERDICT r2 item 6): rows whose
         # predicted frames exceeded the phoneme-count budget (speech-rate
@@ -555,7 +574,7 @@ class TTSPipeline:
         )
         return self._maybe_pcm16(block, pcm16)
 
-    def _vocode_sp_fn(self, params, mel, *, mesh, w0s, starts_f,
+    def _vocode_sp_fn(self, params, mel, w0s, starts_f, *, mesh,
                       chunk_frames, window_frames, mrf_impl="xla",
                       pcm16=False):
         """Sequence-parallel vocoding: device stage of
@@ -571,15 +590,21 @@ class TTSPipeline:
         sliced locally: at [T, 80] x 4 bytes it is ~1000x smaller than the
         waveform compute, so a ppermute halo exchange would save nothing
         (ICI traffic is ONE all-gather of the [B, T*256] output).
+
+        ``w0s``/``starts_f`` are TRACED [D] i32 arrays (window offsets are
+        data, not shape), so one executable serves every mel whose padded
+        length/chunk split matches — :meth:`vocode_sharded` pads T to a
+        coarse multiple precisely so novel lengths don't recompile.
         """
         from jax.sharding import NamedSharding, PartitionSpec
 
         axes = tuple(mesh.axis_names)
         shard = NamedSharding(mesh, PartitionSpec(axes))
-        wins = jnp.stack([
-            jax.lax.dynamic_slice_in_dim(mel, w0, window_frames, axis=1)
-            for w0 in w0s
-        ])  # [D, B, W, n_mels]
+        wins = jax.vmap(
+            lambda w0: jax.lax.dynamic_slice_in_dim(
+                mel, w0, window_frames, axis=1
+            )
+        )(jnp.asarray(w0s, jnp.int32))  # [D, B, W, n_mels]
         wins = jax.lax.with_sharding_constraint(wins, shard)
         d, b = wins.shape[0], wins.shape[1]
         flat = wins.reshape(d * b, window_frames, wins.shape[-1])
@@ -589,7 +614,7 @@ class TTSPipeline:
             audio.reshape(d, b, -1), shard
         )
         spf = self.config.hifigan.total_upsample
-        starts = jnp.asarray([f * spf for f in starts_f], jnp.int32)
+        starts = jnp.asarray(starts_f, jnp.int32) * spf
         keep = jax.vmap(
             lambda aw, s: jax.lax.dynamic_slice_in_dim(
                 aw, s, chunk_frames * spf, axis=1
@@ -740,6 +765,52 @@ class TTSPipeline:
             self.frame_buckets,
         )
 
+    def fused_bucket_pairs(
+        self, max_phonemes: Optional[int] = None
+    ) -> list:
+        """Every (phoneme-bucket, frame-bucket) executable pair the fused
+        path can resolve to for utterances up to ``max_phonemes`` ids —
+        the exact jit-cache keys, enumerated by walking every reachable
+        length through :meth:`_fused_frame_budget`'s arithmetic."""
+        max_p = max_phonemes or self.phoneme_buckets[-1]
+        pairs = set()
+        for length in range(1, max_p + 1):
+            p_bucket = pick_bucket(length, self.phoneme_buckets)
+            t_bucket = self._fused_frame_budget(np.asarray([length]))
+            pairs.add((p_bucket, t_bucket))
+        return sorted(pairs)
+
+    def warmup_fused(
+        self,
+        max_phonemes: Optional[int] = None,
+        pcm16: bool = False,
+        temperature: float = 1.0,
+    ) -> int:
+        """Compile EVERY feasible fused-path executable before traffic.
+
+        A fused dispatch is keyed by its (phoneme-bucket, frame-bucket)
+        pair; warming only one pair (e.g. with a short probe sentence)
+        leaves the first live request in any other pair paying the full
+        compile — minutes on remote-compile backends. This drives the
+        jitted ``_fused`` directly with synthetic ids at each reachable
+        pair (utterance CONTENT never keys the cache, only padded shapes),
+        exactly mirroring :meth:`synthesize`'s host path so the cache keys
+        match. Returns the number of executables compiled.
+        """
+        pairs = self.fused_bucket_pairs(max_phonemes)
+        for p_bucket, t_bucket in pairs:
+            ids_np = np.full((1, p_bucket), self.vocab.pad_id, np.int32)
+            lengths_np = np.asarray([p_bucket], np.int32)
+            ids_dev, lengths_dev, _ = self._device_batch(ids_np, lengths_np)
+            out = self._fused(
+                self.params, ids_dev, lengths_dev, self._next_seed(0),
+                total_frames=t_bucket, temperature=temperature,
+                use_postnet=self.use_postnet, upsample=self.upsample,
+                mrf_impl=self.mrf_impl, pcm16=pcm16,
+            )
+            jax.block_until_ready(out)
+        return len(pairs)
+
     def synthesize(
         self,
         text: Union[str, Sequence[str]],
@@ -880,13 +951,14 @@ class TTSPipeline:
     def vocode(self, mel) -> np.ndarray:
         """Log-mel → waveform. Accepts time-major [T, n_mels] / [B, T,
         n_mels] or reference layout [n_mels, T] / [B, n_mels, T]."""
-        mel = jnp.asarray(mel)
+        mel = np.asarray(mel, np.float32)
         squeeze = mel.ndim == 2
         if squeeze:
             mel = mel[None]
-        if mel.shape[-1] != self.config.hifigan.in_channels:
-            mel = jnp.swapaxes(mel, -1, -2)  # reference layout in
-        audio = self._vocode(self.params, mel, mrf_impl=self.mrf_impl)
+        mel = mel_time_major(mel, self.config.hifigan.in_channels)
+        audio = self._vocode(
+            self.params, jnp.asarray(mel), mrf_impl=self.mrf_impl
+        )
         audio_np = np.asarray(audio, np.float32)
         return audio_np[0] if squeeze else audio_np
 
@@ -920,13 +992,7 @@ class TTSPipeline:
         mel = np.asarray(mel, np.float32)
         if mel.ndim != 2:
             raise ValueError("vocode_streaming takes one [T, n_mels] mel")
-        n_mels = self.config.hifigan.in_channels
-        if mel.shape[-1] != n_mels:
-            if mel.shape[0] != n_mels:
-                raise ValueError(
-                    f"mel shape {mel.shape} has no {n_mels}-sized axis"
-                )
-            mel = mel.T  # reference layout [n_mels, T] in
+        mel = mel_time_major(mel, self.config.hifigan.in_channels)
         t = mel.shape[0]
         if t == 0:
             return
@@ -939,11 +1005,7 @@ class TTSPipeline:
         if t <= window:
             # Too short to split: one exact whole-mel dispatch.
             audio = self.vocode(mel)
-            if pcm16:
-                audio = (
-                    np.clip(audio, -1.0, 1.0) * 32767.0
-                ).astype(np.int16)
-            yield audio
+            yield host_pcm16(audio) if pcm16 else audio
             return
         from iris_tts_tpu.models.hifigan import iter_stream_windows
 
@@ -973,6 +1035,7 @@ class TTSPipeline:
         chunk_frames: Optional[int] = None,
         context_frames: Optional[int] = None,
         pcm16: bool = False,
+        pad_multiple: int = 512,
     ) -> np.ndarray:
         """Log-mel → waveform, the TIME axis split across a device mesh.
 
@@ -992,6 +1055,15 @@ class TTSPipeline:
         (temporal sharding is embarrassingly parallel, so data/model axes
         both serve as window lanes). Falls back to :meth:`vocode` when the
         mel is too short to split or only one device is available.
+
+        The traced mel is zero-padded to the next ``pad_multiple`` frames
+        and the chunk split derives from the PADDED length, so every mel in
+        the same ~``pad_multiple``-frame band reuses one executable (window
+        offsets are traced data, never shapes). The pad region is never
+        read: the plan's clamp guarantee keeps every window inside the true
+        ``T`` frames, so the output stays sample-identical to the full
+        pass. First compiles take minutes on remote-compile backends —
+        without this, a 60.0 s then a 60.1 s utterance would compile twice.
         """
         if mesh is None:
             mesh = self._mesh
@@ -999,13 +1071,7 @@ class TTSPipeline:
         squeeze = mel.ndim == 2
         if squeeze:
             mel = mel[None]
-        n_mels = self.config.hifigan.in_channels
-        if mel.shape[-1] != n_mels:
-            if mel.shape[-2] != n_mels:
-                raise ValueError(
-                    f"mel shape {mel.shape} has no {n_mels}-sized axis"
-                )
-            mel = np.swapaxes(mel, -1, -2)  # reference layout in
+        mel = mel_time_major(mel, self.config.hifigan.in_channels)
         t = mel.shape[1]
         n_dev = 1 if mesh is None else len(mesh.devices.flat)
         up = self.config.hifigan.total_upsample
@@ -1016,32 +1082,34 @@ class TTSPipeline:
 
         if context_frames is None:
             context_frames = receptive_radius_frames(self.config.hifigan)
-        chunk = chunk_frames or -(-t // n_dev)
+        t_pad = round_up_to_multiple(t, max(1, pad_multiple))
+        chunk = chunk_frames or -(-t_pad // n_dev)
         window = chunk + 2 * context_frames
         if n_dev == 1 or t <= window:
             audio = self.vocode(mel if not squeeze else mel[0])
-            if pcm16:
-                audio = (
-                    np.clip(audio, -1.0, 1.0) * 32767.0
-                ).astype(np.int16)
-            return audio
+            return host_pcm16(audio) if pcm16 else audio
         plan = list(iter_stream_windows(t, chunk, context_frames))
         # Fewer windows than devices (short mel / explicit chunk_frames):
         # idle lanes recompute the last window; their output is dropped at
         # reassembly. len(plan) = ceil(t/chunk) ≤ n_dev by construction
-        # when chunk defaults to ceil(t/n_dev).
+        # when chunk defaults to ceil(t_pad/n_dev).
         if len(plan) > n_dev:
             raise ValueError(
                 f"chunk_frames={chunk} yields {len(plan)} windows for "
                 f"{n_dev} devices; use chunk_frames >= ceil(T/n_devices)"
             )
         padded = plan + [plan[-1]] * (n_dev - len(plan))
+        if t_pad > t:
+            mel = np.concatenate(
+                [mel, np.zeros((mel.shape[0], t_pad - t, mel.shape[2]),
+                               np.float32)], axis=1,
+            )
         out = self._vocode_sp(
             self.params,
             jnp.asarray(mel),
+            jnp.asarray([p[2] for p in padded], jnp.int32),
+            jnp.asarray([p[4] for p in padded], jnp.int32),
             mesh=mesh,
-            w0s=tuple(p[2] for p in padded),
-            starts_f=tuple(p[4] for p in padded),
             chunk_frames=chunk,
             window_frames=window,
             mrf_impl=self.mrf_impl,

@@ -31,19 +31,12 @@ module, like the rest of ``parallel/``, is new TPU-native capability.
 from __future__ import annotations
 
 from collections import deque
-from typing import Optional, Sequence
+from math import lcm
+from typing import Optional, Sequence, Union
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
-
-
-def _lcm(a: int, b: int) -> int:
-    g, x, y = 1, a, b
-    while y:
-        x, y = y, x % y
-    return a * b // x
 
 
 class PipelineParallelSynthesizer:
@@ -88,7 +81,7 @@ class PipelineParallelSynthesizer:
         self._params_b = jax.device_put(
             {"hifigan": pipe.params["hifigan"]}, rep_b
         )
-        self._batch_multiple = _lcm(k, len(devices) - k)
+        self._batch_multiple = lcm(k, len(devices) - k)
         self._mel = jax.jit(
             pipe._fused_mel_fn,
             static_argnames=("total_frames", "use_postnet", "upsample"),
@@ -115,8 +108,11 @@ class PipelineParallelSynthesizer:
             lengths_np = np.concatenate(
                 [lengths_np, np.repeat(lengths_np[-1:], pad)]
             )
-        ids = jax.device_put(jnp.asarray(ids_np), self._rows_a)
-        lengths = jax.device_put(jnp.asarray(lengths_np), self._rows_a)
+        # One host→group transfer per array (device_put shards numpy
+        # directly; going through jnp.asarray first would pay an extra
+        # host→default-device round trip per microbatch).
+        ids = jax.device_put(ids_np, self._rows_a)
+        lengths = jax.device_put(lengths_np, self._rows_a)
         mel, n_frames, deficit = self._mel(
             self._params_a, ids, lengths,
             pipe._next_seed(seed), total_frames=t_bucket,
@@ -147,16 +143,23 @@ class PipelineParallelSynthesizer:
 
     def synthesize(
         self,
-        texts: Sequence[str],
+        texts: Union[str, Sequence[str]],
         seed: Optional[int] = None,
         temperature: float = 1.0,
         pcm16: bool = False,
-    ) -> list:
+    ):
         """One batch through both stages (no pipelining benefit at depth 1;
-        use :meth:`synthesize_batches` for streams)."""
-        return self._collect(
-            self._dispatch(list(texts), seed, temperature, pcm16), pcm16
+        use :meth:`synthesize_batches` for streams).
+
+        Accepts one string or a list, matching ``TTSPipeline.synthesize``:
+        a bare string returns a single waveform (it is NOT iterated into
+        per-character utterances)."""
+        single = isinstance(texts, str)
+        batch = [texts] if single else list(texts)
+        out = self._collect(
+            self._dispatch(batch, seed, temperature, pcm16), pcm16
         )
+        return out[0] if single else out
 
     def synthesize_batches(
         self,
@@ -170,7 +173,8 @@ class PipelineParallelSynthesizer:
         are enqueued ahead of the collector, bounding device memory."""
         q = deque()
         for texts in batches:
-            q.append(self._dispatch(list(texts), seed, temperature, pcm16))
+            batch = [texts] if isinstance(texts, str) else list(texts)
+            q.append(self._dispatch(batch, seed, temperature, pcm16))
             if len(q) > self.inflight:
                 yield self._collect(q.popleft(), pcm16)
         while q:

@@ -204,10 +204,10 @@ class DynamicBatcher:
         waits on a first-compile — on tunneled TPU backends the FIRST
         compile of a process can take minutes, far past any sane request
         timeout."""
-        self._pipe.synthesize(
-            "warm up the jit cache.", fused=True, seed=0,
-            pcm16=self._pcm16,
-        )
+        # Every reachable fused (phoneme, frame) bucket pair — a probe
+        # sentence would warm only its own pair and leave the first long
+        # request paying a compile.
+        self._pipe.warmup_fused(pcm16=self._pcm16)
         for b in self._batch_buckets:
             self._pipe.synthesize(
                 ["warm up the jit cache."] * b, fused=False, seed=0,

@@ -452,10 +452,9 @@ class AotPipeline:
             for a, n in zip(audio_np[: len(texts)], n_np)
         ]
         if pcm16:
-            outs = [
-                (np.clip(a, -1.0, 1.0) * 32767.0).astype(np.int16)
-                for a in outs
-            ]
+            from iris_tts_tpu.models.pipeline import host_pcm16
+
+            outs = [host_pcm16(a) for a in outs]
         if return_mel:
             mel_np = jax.device_get(mel)
             mels = [
@@ -486,12 +485,9 @@ class AotPipeline:
         mel = np.asarray(mel, np.float32)
         if mel.ndim != 2:
             raise ValueError("vocode_streaming takes one [T, n_mels] mel")
-        if mel.shape[-1] != n_mels:
-            if mel.shape[0] != n_mels:
-                raise ValueError(
-                    f"mel shape {mel.shape} has no {n_mels}-sized axis"
-                )
-            mel = mel.T
+        from iris_tts_tpu.models.pipeline import host_pcm16, mel_time_major
+
+        mel = mel_time_major(mel, n_mels)
         t = mel.shape[0]
         if t <= window:
             raise ValueError(
@@ -510,8 +506,4 @@ class AotPipeline:
             block_np = np.asarray(jax.device_get(block))[0]
             off = (start_f - start_cl_f) * up
             out = block_np[off : off + (b - a) * up]
-            if pcm16:
-                out = (
-                    np.clip(out, -1.0, 1.0) * 32767.0
-                ).astype(np.int16)
-            yield out
+            yield host_pcm16(out) if pcm16 else out

@@ -103,10 +103,14 @@ def main() -> None:
         # requests must never be the ones paying it.
         logger.info("warmup compile (all batch buckets + fused path)...")
         pcm16 = not args.float_transfer
-        # Fused single-utterance executable: the batcher's fast path for
-        # seeded/streaming/light-traffic requests.
-        pipe.synthesize("warm up the jit cache.", fused=True, seed=0,
-                        pcm16=pcm16)
+        # Fused single-utterance executables: the batcher's fast path for
+        # seeded/streaming/light-traffic requests. Warm EVERY reachable
+        # (phoneme-bucket, frame-bucket) pair, not just the one a short
+        # probe sentence lands in — the first long live request must not
+        # be the one paying a compile either.
+        n_fused = pipe.warmup_fused(pcm16=pcm16)
+        logger.info("fused path: %d bucket-pair executables compiled",
+                    n_fused)
         b = 1
         while b < args.max_batch:
             pipe.synthesize(

@@ -222,7 +222,10 @@ def main() -> None:
         # host sync per batch (the TrainLoop pattern, loop.py:123).
         sums, n_steps = None, 0
         for batch in batcher.epoch(epoch):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            # Stay host-side here: jnp.asarray would land each array on the
+            # default device and place_batch would then pay a SECOND
+            # transfer to reshard onto the mesh. numpy → one placement.
+            batch = {k: np.asarray(v) for k, v in batch.items()}
             if args.accum_steps > 1:
                 from iris_tts_tpu.train import split_microbatches
 

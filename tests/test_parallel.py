@@ -205,12 +205,16 @@ def test_vocode_sharded_equality(devices):
     rng = np.random.default_rng(7)
     mesh = build_mesh(MeshConfig(data_parallel=8, model_parallel=1), devices)
 
+    base_cache = pipe._vocode_sp._cache_size()
     for t in (200, 203):  # even and uneven splits
         mel = rng.standard_normal((t, n_mels)).astype(np.float32)
         want = pipe.vocode(mel)
         got = pipe.vocode_sharded(mel, mesh)
         assert got.shape == want.shape == (t * up,)
         np.testing.assert_array_equal(got, want)
+    # Novel lengths inside one pad_multiple band reuse ONE executable:
+    # window offsets are traced data, and T pads to the band size.
+    assert pipe._vocode_sp._cache_size() == base_cache + 1
 
     # pcm16 device-side quantization matches host quantization of vocode
     mel = rng.standard_normal((160, n_mels)).astype(np.float32)
@@ -392,6 +396,20 @@ def test_pipeline_parallel_synthesizer_matches_fused(devices):
     assert outs16[0].dtype == np.int16
     np.testing.assert_allclose(
         outs16[0].astype(np.int32), want16.astype(np.int32), atol=1
+    )
+
+    # a bare string is ONE utterance returning ONE waveform (the
+    # TTSPipeline.synthesize contract), never per-character texts
+    single = pp.synthesize("hello world", seed=3)
+    assert isinstance(single, np.ndarray)
+    np.testing.assert_allclose(
+        single, pipe.synthesize("hello world", seed=3, fused=True),
+        atol=1e-6, rtol=1e-5,
+    )
+    got_str_batches = list(pp.synthesize_batches(["hello world"], seed=3))
+    assert len(got_str_batches) == 1 and len(got_str_batches[0]) == 1
+    np.testing.assert_allclose(
+        got_str_batches[0][0], single, atol=1e-6, rtol=1e-5
     )
 
     # uneven split and guards

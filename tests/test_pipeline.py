@@ -94,6 +94,27 @@ def test_fused_deterministic_with_seed(pipeline):
     np.testing.assert_array_equal(a, b)
 
 
+def test_warmup_fused_covers_every_bucket_pair(pipeline):
+    """warmup_fused compiles every reachable (phoneme, frame) bucket pair,
+    so NO later synthesize() call — short or long — pays a fused compile
+    (the serve.py warmup contract)."""
+    pairs = pipeline.fused_bucket_pairs()
+    # Every pair reachable from a real length must be in the enumeration.
+    for length in (1, 5, 16, 17, 31, 32):
+        p = pick_bucket(length, pipeline.phoneme_buckets)
+        t = pipeline._fused_frame_budget(np.asarray([length]))
+        assert (p, t) in pairs
+    n = pipeline.warmup_fused()
+    assert n == len(pairs)
+    cache = pipeline._fused._cache_size()
+    pipeline.synthesize("hi", seed=0, fused=True)
+    pipeline.synthesize(
+        "a considerably longer sentence that lands in the larger phoneme "
+        "bucket of this tiny test ladder", seed=0, fused=True,
+    )
+    assert pipeline._fused._cache_size() == cache
+
+
 def test_fused_overflow_compresses_durations(pipeline):
     """When predicted frames exceed the fused budget, durations scale down
     proportionally (speech-rate compression) instead of truncating audio."""

@@ -6,6 +6,7 @@ regulation's conservation laws, rule-normalization idempotence, and the
 native npy reader's behavior on hostile bytes.
 """
 
+import functools
 import subprocess
 from pathlib import Path
 
@@ -147,7 +148,6 @@ def test_frontend_total_on_arbitrary_unicode(text):
     """text_to_ids is total: any unicode input yields a non-empty int id
     list within the vocab, never an exception (the serving admission path
     runs this on raw client text)."""
-    from iris_tts_tpu.text.frontend import create_text_processor
     from iris_tts_tpu.text.phonemes import PhonemeVocab
 
     tp = _cached_tp()
@@ -157,12 +157,8 @@ def test_frontend_total_on_arbitrary_unicode(text):
     assert all(0 <= int(i) < len(vocab) for i in ids)
 
 
-_TP = []
-
-
+@functools.cache
 def _cached_tp():
-    if not _TP:
-        from iris_tts_tpu.text.frontend import create_text_processor
+    from iris_tts_tpu.text.frontend import create_text_processor
 
-        _TP.append(create_text_processor())
-    return _TP[0]
+    return create_text_processor()

@@ -9,5 +9,15 @@ from iris_tts_tpu.data.audio_io import (
     wav_bytes,
     write_wav,
 )
+from iris_tts_tpu.data.batching import prefetch_to_device
 
-__all__ = ["join_wave_chunks", "load_audio", "read_wav", "resample", "to_mono", "wav_bytes", "write_wav"]
+__all__ = [
+    "join_wave_chunks",
+    "load_audio",
+    "prefetch_to_device",
+    "read_wav",
+    "resample",
+    "to_mono",
+    "wav_bytes",
+    "write_wav",
+]

@@ -10,7 +10,7 @@ and warm (BASELINE.json config 4's "length-bucket jit caches").
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -153,3 +153,75 @@ class BucketedBatcher:
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
+
+
+def prefetch_to_device(
+    batches: Iterator,
+    size: int = 2,
+    place: Optional[Callable] = None,
+):
+    """Overlap host batch preparation + host→device transfer with device
+    compute: a background thread pulls up to ``size`` batches ahead,
+    applies ``place`` (collate→device placement; default: ``jnp.asarray``
+    per leaf), and the consumer receives device-resident batches.
+
+    The reference feeds Keras ``PyDataset`` batches synchronously
+    (datasets.py:646-737): every step waits for the next batch's padding
+    and transfer. On TPU the transfer rides DMA concurrently with the MXU,
+    so staging even one batch ahead hides the whole input pipeline behind
+    the step — the standard device-prefetch input pattern.
+
+    The worker shuts down promptly when the consumer stops early (the
+    generator's ``finally`` signals it and drains the queue), and any
+    worker exception re-raises in the consumer.
+    """
+    import queue as queue_mod
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    if place is None:
+        place = lambda b: jax.tree_util.tree_map(jnp.asarray, b)  # noqa: E731
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, size))
+    stop = threading.Event()
+    END = object()
+
+    def _put(item) -> bool:
+        """Blocking put that aborts when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def _worker():
+        try:
+            for b in batches:
+                if stop.is_set() or not _put((None, place(b))):
+                    return
+            _put((None, END))
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            _put((e, None))
+
+    t = threading.Thread(target=_worker, name="prefetch_to_device",
+                         daemon=True)
+    t.start()
+    try:
+        while True:
+            err, item = q.get()
+            if err is not None:
+                raise err
+            if item is END:
+                return
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # unblock a worker waiting on a full queue
+            try:
+                q.get_nowait()
+            except queue_mod.Empty:
+                break
+        t.join(timeout=5.0)

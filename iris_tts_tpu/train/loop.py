@@ -41,6 +41,13 @@ class TrainLoop:
             step (e.g. the annealed KL weight, train_vae.py:378-382).
         eval_extras: same for eval (defaults to epoch_extras).
         val_metric_key: metric minimised for best-checkpoint tracking.
+        place_batch: host training batch → device-placed batch (microbatch
+            split and/or mesh placement); runs on the PREFETCH thread so
+            collate+transfer overlap device compute. Default: ``jnp.asarray``
+            per leaf. Validation batches always use the default placement
+            (no microbatch split — eval steps take whole batches).
+        prefetch: training batches staged ahead of the step (0 disables
+            the prefetch thread).
     """
 
     state: TrainState
@@ -58,6 +65,8 @@ class TrainLoop:
     log_every_steps: int = 50
     start_epoch: int = 0
     uses_frozen_in_eval: bool = True
+    place_batch: Optional[Callable] = None
+    prefetch: int = 2
 
     # Preemption safety (new beyond the reference, whose resume loses
     # optimizer/RNG state — SURVEY.md §5): SIGTERM/SIGINT set a flag that
@@ -114,6 +123,20 @@ class TrainLoop:
             step, int(state.epoch),
         )
 
+    def _train_batches(self, epoch: int):
+        """Device-placed training batches, staged ``prefetch`` ahead on a
+        background thread (collate + transfer overlap the step's compute)."""
+        from iris_tts_tpu.data.batching import prefetch_to_device
+
+        place = self.place_batch or (
+            lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+        )
+        if self.prefetch <= 0:
+            return (place(b) for b in self.batcher.epoch(epoch))
+        return prefetch_to_device(
+            self.batcher.epoch(epoch), size=self.prefetch, place=place
+        )
+
     def _run(self, state: TrainState, stop: threading.Event) -> TrainState:
         for epoch in range(self.start_epoch, self.num_epochs):
             extras = self.epoch_extras(epoch) if self.epoch_extras else ()
@@ -121,11 +144,10 @@ class TrainLoop:
             t0 = time.time()
             n_steps = 0
             sums = None  # device-side metric accumulation: no per-step sync
-            for batch in self.batcher.epoch(epoch):
+            for batch in self._train_batches(epoch):
                 if stop.is_set():
                     self._preempt_save(state)
                     return state
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 state, m = self.train_step(state, batch, *extras)
                 n_steps += 1
                 sums = (

@@ -122,6 +122,27 @@ def add_mesh_arg(parser: argparse.ArgumentParser) -> None:
     )
 
 
+def training_place_fn(place_batch=None, accum_steps: int = 1):
+    """Compose the ``TrainLoop.place_batch`` callable: optional microbatch
+    split (host-side reshape, BEFORE transfer) then mesh/device placement.
+    Runs on the loop's prefetch thread, so collate + split + transfer all
+    overlap the previous step's device compute."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iris_tts_tpu.train import split_microbatches
+
+    def place(batch):
+        batch = {k: np.asarray(v) for k, v in batch.items()}
+        if accum_steps > 1:
+            batch = split_microbatches(batch, accum_steps)
+        if place_batch is not None:
+            return place_batch(batch)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    return place
+
+
 def mesh_training_placement(
     state, accum_steps: int = 1, model_parallel: int = 1
 ):

@@ -27,12 +27,14 @@ from iris_tts_tpu.train import TrainState, adam_clipped
 from iris_tts_tpu.train.checkpoint import CheckpointManager
 from iris_tts_tpu.train.gan import make_gan_steps
 from iris_tts_tpu.utils.metrics import MetricsWriter
+from iris_tts_tpu.data.batching import prefetch_to_device
 from scripts.common import (
     add_common_args,
     add_mesh_arg,
     mesh_training_placement,
     resolve_config,
     setup_logging,
+    training_place_fn,
 )
 
 logger = logging.getLogger(__name__)
@@ -203,7 +205,7 @@ def main() -> None:
             "balance", g_step, d_step,
         )
 
-    place_batch = lambda b: b  # noqa: E731 — identity off-mesh
+    place_batch = None  # training_place_fn default (jnp.asarray) off-mesh
     if args.mesh:
         # Both sides place identically (mesh placement after resume so
         # restored host arrays get sharded too). Batches shard over data;
@@ -216,21 +218,19 @@ def main() -> None:
             disc_state, accum_steps=args.accum_steps,
             model_parallel=args.model_parallel,
         )
+    # Collate + microbatch split + host→device transfer run on a prefetch
+    # thread, overlapping the GAN steps' device compute (one placement:
+    # numpy goes straight to its mesh sharding, never via a default-device
+    # bounce).
+    place = training_place_fn(place_batch, args.accum_steps)
 
     for epoch in range(start_epoch, cfg.train.num_epochs):
         # Device-side metric accumulation: float() every step would force a
         # host sync per batch (the TrainLoop pattern, loop.py:123).
         sums, n_steps = None, 0
-        for batch in batcher.epoch(epoch):
-            # Stay host-side here: jnp.asarray would land each array on the
-            # default device and place_batch would then pay a SECOND
-            # transfer to reshard onto the mesh. numpy → one placement.
-            batch = {k: np.asarray(v) for k, v in batch.items()}
-            if args.accum_steps > 1:
-                from iris_tts_tpu.train import split_microbatches
-
-                batch = split_microbatches(batch, args.accum_steps)
-            batch = place_batch(batch)
+        for batch in prefetch_to_device(
+            batcher.epoch(epoch), size=2, place=place
+        ):
             disc_state, dm = disc_step(gen_state, disc_state, batch)
             gen_state, gm = gen_step(gen_state, disc_state, batch)
             m = {**dm, **gm}

@@ -34,6 +34,7 @@ from scripts.common import (
     mesh_training_placement,
     resolve_config,
     setup_logging,
+    training_place_fn,
 )
 from scripts.train_vae import load_frozen_encoder
 
@@ -119,19 +120,18 @@ def main() -> None:
     )
     state, start_epoch = resume_if_available(ckpt, template, steps_per_epoch)
 
-    raw_step = jax.jit(make_postnet_train_step(cfg))
-    train_step = raw_step
+    train_step = jax.jit(make_postnet_train_step(cfg))
+    place_batch = None  # loop default (jnp.asarray) off-mesh
     if args.mesh:
         state, place_batch = mesh_training_placement(
             state, model_parallel=args.model_parallel
         )
 
-        def train_step(state, batch, *extras):
-            return raw_step(state, place_batch(batch), *extras)
-
     loop = TrainLoop(
         state=state,
         train_step=train_step,
+        # Placement runs on the loop's prefetch thread.
+        place_batch=training_place_fn(place_batch),
         batcher=batcher,
         num_epochs=cfg.train.num_epochs,
         checkpoints=ckpt,

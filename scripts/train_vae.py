@@ -45,6 +45,7 @@ from scripts.common import (
     persist_config,
     resolve_config,
     setup_logging,
+    training_place_fn,
 )
 
 
@@ -145,30 +146,21 @@ def main() -> None:
             ),
         )
 
-    place_batch = lambda b: b  # noqa: E731 — identity off-mesh
+    place_batch = None  # loop default (jnp.asarray) off-mesh
     if args.mesh:
         state, place_batch = mesh_training_placement(
             state, accum_steps=args.accum_steps,
             model_parallel=args.model_parallel,
         )
 
-    raw_step = jax.jit(make_vae_train_step(cfg, accum_steps=args.accum_steps))
-    if args.accum_steps > 1:
-        from iris_tts_tpu.train import split_microbatches
-
-        def train_step(state, batch, *extras):
-            return raw_step(
-                state,
-                place_batch(split_microbatches(batch, args.accum_steps)),
-                *extras,
-            )
-    else:
-        def train_step(state, batch, *extras):
-            return raw_step(state, place_batch(batch), *extras)
-
+    train_step = jax.jit(
+        make_vae_train_step(cfg, accum_steps=args.accum_steps)
+    )
     loop = TrainLoop(
         state=state,
         train_step=train_step,
+        # Microbatch split + placement run on the prefetch thread.
+        place_batch=training_place_fn(place_batch, args.accum_steps),
         batcher=batcher,
         num_epochs=cfg.train.num_epochs,
         checkpoints=ckpt,

@@ -293,3 +293,73 @@ def test_vocab_strips_mfa_stress_digits(tmp_path):
     assert "AH0" not in ds.vocab.phoneme_to_id
     s = ds[0]
     assert ds.vocab.unk_id not in s.phoneme_ids
+
+
+# ---------------------------------------------------------------------------
+# prefetch_to_device
+# ---------------------------------------------------------------------------
+
+
+def test_prefetch_to_device_order_and_values():
+    """Prefetched batches arrive in order, device-placed, value-identical
+    to the plain iterator (the TrainLoop input path)."""
+    import jax.numpy as jnp
+
+    from iris_tts_tpu.data.batching import prefetch_to_device
+
+    batches = [
+        {"x": np.full((2, 3), i, np.float32), "i": np.asarray([i])}
+        for i in range(7)
+    ]
+    got = list(prefetch_to_device(iter(batches), size=2))
+    assert len(got) == 7
+    for i, b in enumerate(got):
+        assert isinstance(b["x"], jnp.ndarray)
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+        assert int(b["i"][0]) == i
+
+
+def test_prefetch_to_device_custom_place_and_early_stop():
+    """A custom place fn (the mesh/microbatch hook) runs on the worker; an
+    early-stopping consumer shuts the worker down promptly instead of
+    draining the whole (possibly infinite) source."""
+    import itertools
+    import threading
+    import time
+
+    from iris_tts_tpu.data.batching import prefetch_to_device
+
+    placed = []
+
+    def place(b):
+        placed.append(b["i"])
+        return {"i": b["i"] * 10}
+
+    def infinite():
+        for i in itertools.count():
+            yield {"i": i}
+
+    gen = prefetch_to_device(infinite(), size=2, place=place)
+    first = [next(gen) for _ in range(3)]
+    assert [b["i"] for b in first] == [0, 10, 20]
+    gen.close()  # consumer stops early
+    n_before = threading.active_count()
+    time.sleep(0.3)
+    # worker exited: no prefetch thread lingers past close()
+    names = [t.name for t in threading.enumerate()]
+    assert "prefetch_to_device" not in names, (names, n_before)
+    # bounded lookahead: at most consumed + queue size + 1 in-flight
+    assert len(placed) <= 3 + 2 + 1
+
+
+def test_prefetch_to_device_propagates_worker_exception():
+    from iris_tts_tpu.data.batching import prefetch_to_device
+
+    def bad():
+        yield {"i": np.asarray([0])}
+        raise RuntimeError("collate blew up")
+
+    gen = prefetch_to_device(bad(), size=2)
+    next(gen)
+    with pytest.raises(RuntimeError, match="collate blew up"):
+        next(gen)

@@ -204,6 +204,11 @@ def test_preemption_checkpoints_and_resumes(rng, tmp_path):
         num_epochs=10,
         checkpoints=ckpt,
         checkpoint_every=1000,  # only the preemption path may save
+        # The SIGTERM-after-2-batches choreography needs the batcher
+        # consumed synchronously; with lookahead the signal lands before
+        # the consumer has applied batch 2 (still a correct preemption —
+        # just an untestably loose step bound).
+        prefetch=0,
     )
     out_state = loop.run()
     assert loop.preempted

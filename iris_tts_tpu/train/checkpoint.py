@@ -59,9 +59,17 @@ class CheckpointManager:
     # -- save ----------------------------------------------------------------
 
     def save(self, step: int, state: Any, metrics: Optional[dict] = None,
-             val_metric: Optional[float] = None) -> bool:
+             val_metric: Optional[float] = None, wait: bool = False) -> bool:
         """Save at ``step``; track best-on-val separately (reference policy:
-        train_encoder.py:281-296). Returns True if this is a new best."""
+        train_encoder.py:281-296). Returns True if this is a new best.
+
+        Saves are ASYNC by default: orbax snapshots the arrays and commits
+        on a background thread, so training resumes immediately (a second
+        ``save`` while one is in flight waits internally, and commits are
+        atomic — readers only ever see completed steps). Pass ``wait=True``
+        when the process may exit right after (preemption, final save) or
+        when another process must observe the checkpoint immediately.
+        """
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(_to_savable(state)),
@@ -79,12 +87,18 @@ class CheckpointManager:
                     best_dir, _to_savable(state), force=True
                 )
             is_best = True
-        self._mgr.wait_until_finished()
+        if wait:
+            self._mgr.wait_until_finished()
         return is_best
+
+    def wait_until_finished(self) -> None:
+        """Block until every in-flight async save has committed."""
+        self._mgr.wait_until_finished()
 
     # -- restore -------------------------------------------------------------
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()  # async saves: settle before read
         return self._mgr.latest_step()
 
     def all_steps(self) -> list:
@@ -95,6 +109,7 @@ class CheckpointManager:
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of ``state_template`` (same pytree,
         abstract or concrete arrays)."""
+        self._mgr.wait_until_finished()  # async saves: settle before read
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
@@ -140,6 +155,7 @@ class CheckpointManager:
         stage — a template-based restore would fail on the ``opt_state``
         structure mismatch.
         """
+        self._mgr.wait_until_finished()  # async saves: settle before read
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
@@ -163,6 +179,7 @@ class CheckpointManager:
         )
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

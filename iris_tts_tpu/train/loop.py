@@ -99,6 +99,10 @@ class TrainLoop:
         try:
             return self._run(state, stop)
         finally:
+            if self.checkpoints is not None:
+                # Periodic saves are async; settle them before the caller
+                # can exit or read the checkpoint directory.
+                self.checkpoints.wait_until_finished()
             for sig, h in old_handlers.items():
                 signal.signal(sig, h)
 
@@ -113,7 +117,8 @@ class TrainLoop:
             logger.info("step %d already checkpointed; clean stop", step)
             return
         try:
-            self.checkpoints.save(step, state, val_metric=None)
+            # wait=True: the process exits right after this save.
+            self.checkpoints.save(step, state, val_metric=None, wait=True)
         except Exception:  # noqa: BLE001 — a failed save must not mask exit
             logger.exception("preemption checkpoint failed at step %d", step)
             return

@@ -246,9 +246,13 @@ def main() -> None:
                     {k: round(v, 4) for k, v in means.items()})
         writer.write(int(gen_state.step), means)
         if (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
+            # Async saves: the next epoch trains while both sides commit.
             gen_ckpt.save(int(gen_state.step), gen_state,
                           val_metric=means.get("gen_mel_l1"))
             disc_ckpt.save(int(disc_state.step), disc_state)
+    # Settle in-flight commits before the process exits.
+    gen_ckpt.wait_until_finished()
+    disc_ckpt.wait_until_finished()
 
 
 if __name__ == "__main__":

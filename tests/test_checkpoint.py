@@ -212,3 +212,34 @@ def test_restore_raw_decouples_optimizer(tmp_path):
         np.asarray(got["w"]), np.asarray(state.params["w"])
     )
     mgr.close()
+
+
+def test_async_save_settles_before_read(tmp_path):
+    """Periodic saves are async (training continues while orbax commits);
+    every read path (latest_step/restore, incl. from a fresh manager after
+    close) observes only settled, complete checkpoints."""
+    from iris_tts_tpu.train import TrainState
+
+    key = jax.random.PRNGKey(0)
+    state = TrainState.create(
+        {"w": jax.random.normal(key, (4, 4))}, adam_clipped(1e-3), key
+    )
+    mgr = CheckpointManager(tmp_path / "ck")
+    for _ in range(3):
+        grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+        state = state.apply_gradients(grads)
+        mgr.save(int(state.step), state)  # async (wait defaults False)
+    # Same-manager read settles in-flight commits first.
+    assert mgr.latest_step() == 3
+    got = mgr.restore(state)
+    np.testing.assert_array_equal(
+        np.asarray(got.params["w"]), np.asarray(state.params["w"])
+    )
+    mgr.close()  # waits, then closes
+    fresh = CheckpointManager(tmp_path / "ck")
+    assert fresh.latest_step() == 3
+    got2 = fresh.restore(state)
+    np.testing.assert_array_equal(
+        np.asarray(got2.params["w"]), np.asarray(state.params["w"])
+    )
+    fresh.close()

@@ -174,3 +174,19 @@ def test_train_hifigan_cli_end_to_end_with_resume(tmp_path):
     r2 = _run(args)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "resumed GAN from step" in (r2.stderr + r2.stdout)
+
+
+def test_roofline_cli_json():
+    """scripts/roofline.py: XLA-cost-model speed-of-light analysis emits
+    sane JSON (positive FLOPs/bytes, HBM-bound vocoder, finite SoL RT)."""
+    r = _run(["scripts/roofline.py", "--batch", "1", "--frames", "128",
+              "--phonemes", "32", "--json"], timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = json.loads(r.stdout.strip().splitlines()[-1])
+    stages = {s["stage"]: s for s in data["stages"]}
+    voc = stages["vocoder (HiFiGAN)"]
+    e2e = stages["fused end-to-end"]
+    assert voc["gflops"] > 0 and voc["gbytes"] > 0
+    assert e2e["gflops"] >= voc["gflops"]
+    assert voc["bound"] in ("HBM", "FLOPs")
+    assert 0 < e2e["sol_rt_factor"] < 1e7

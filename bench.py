@@ -334,6 +334,37 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Roofline efficiency: speed of light for THIS dispatch shape from the
+    # backend's own cost model (scripts/roofline.py holds the analysis;
+    # docs/PERF.md the interpretation). Guarded: some PJRT plugins do not
+    # implement cost_analysis.
+    sol = {}
+    try:
+        ca = (
+            jax.jit(synth)
+            .lower(pipe.params, ids, lengths, key, jnp.float32(0))
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(ca, list):
+            ca = ca[0]
+        fl, by = float(ca.get("flops", 0)), float(ca.get("bytes accessed", 0))
+        t_sol = max(fl / 197e12, by / 819e9)  # v5e dense-bf16 / HBM peaks
+        if t_sol > 0:
+            sol_rt = audio_seconds / t_sol
+            sol = {
+                "sol_rt_factor": round(sol_rt, 1),
+                "sol_fraction": round(rtf / sol_rt, 3),
+                "sol_bound": "hbm" if by / 819e9 > fl / 197e12 else "flops",
+            }
+            print(
+                f"bench: roofline — speed of light {sol_rt:.0f}x realtime "
+                f"({sol['sol_bound']}-bound) → running at "
+                f"{100*rtf/sol_rt:.0f}% of light", file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001 — diagnostics must not fail bench
+        print(f"bench: cost_analysis unavailable ({e})", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -345,6 +376,7 @@ def main() -> None:
                 "p50_fused_dispatch_ms": round(p50 * 1e3, 2),
                 "p50_public_api_ms": round(api_p50 * 1e3, 2),
                 "p50_public_api_pcm16_ms": round(pcm_p50 * 1e3, 2),
+                **sol,
                 **cold,
             }
         )

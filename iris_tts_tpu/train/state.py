@@ -62,7 +62,12 @@ class TrainState:
             rng=rng,
             batch_stats=batch_stats,
             frozen=frozen,
-            ema_params=params if ema_decay else None,
+            # A REAL copy, not a reference: params and ema_params must not
+            # alias device buffers, or a donating train step would donate
+            # the same buffer twice (PJRT Execute() rejects that).
+            ema_params=(
+                jax.tree.map(jnp.copy, params) if ema_decay else None
+            ),
             ema_decay=float(ema_decay or 0.0),
             tx=tx,
         )

@@ -115,8 +115,14 @@ def main() -> None:
             model_parallel=args.model_parallel,
         )
 
+    # donate_argnums=0: the previous TrainState's buffers alias the new
+    # one in place (halves the params+opt-state footprint of the update).
+    # Safe with async checkpointing: a donated buffer is only reused after
+    # every outstanding read (incl. orbax's device→host fetch) completes —
+    # PJRT serializes donation behind existing usage holds.
     train_step = jax.jit(
-        make_duration_train_step(cfg, accum_steps=args.accum_steps)
+        make_duration_train_step(cfg, accum_steps=args.accum_steps),
+        donate_argnums=0,
     )
     loop = TrainLoop(
         state=state,

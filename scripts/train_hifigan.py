@@ -173,8 +173,12 @@ def main() -> None:
         cfg, periods=tuple(args.periods), num_scales=args.num_scales,
         disc_width=args.disc_width, accum_steps=args.accum_steps,
     )
-    disc_step = jax.jit(disc_step)
-    gen_step = jax.jit(gen_step)
+    # Each side donates ONLY its own updated state: disc_step(gen, disc,
+    # batch) consumes disc (argnum 1); gen_step(gen, disc, batch) consumes
+    # gen (argnum 0). The other side's state and the batch are read twice
+    # per round and must stay live.
+    disc_step = jax.jit(disc_step, donate_argnums=1)
+    gen_step = jax.jit(gen_step, donate_argnums=0)
 
     out = Path(args.output_dir) / "hifigan_gan"
     gen_ckpt = CheckpointManager(out / "gen", cfg)

@@ -120,7 +120,8 @@ def main() -> None:
     )
     state, start_epoch = resume_if_available(ckpt, template, steps_per_epoch)
 
-    train_step = jax.jit(make_postnet_train_step(cfg))
+    # donate_argnums=0: see train_encoder.py — in-place state update.
+    train_step = jax.jit(make_postnet_train_step(cfg), donate_argnums=0)
     place_batch = None  # loop default (jnp.asarray) off-mesh
     if args.mesh:
         state, place_batch = mesh_training_placement(

@@ -153,8 +153,10 @@ def main() -> None:
             model_parallel=args.model_parallel,
         )
 
+    # donate_argnums=0: see train_encoder.py — in-place state update.
     train_step = jax.jit(
-        make_vae_train_step(cfg, accum_steps=args.accum_steps)
+        make_vae_train_step(cfg, accum_steps=args.accum_steps),
+        donate_argnums=0,
     )
     loop = TrainLoop(
         state=state,

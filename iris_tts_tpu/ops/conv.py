@@ -63,6 +63,21 @@ def _matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
 
+def _conv_pet(x):
+    """preferred_element_type for a conv on ``x``.
+
+    f32 inputs keep the explicit f32 accumulate. For bf16 inputs return
+    None (output in the input dtype): the TPU MXU accumulates in f32
+    internally either way, so the result rounds identically — but jax's
+    conv TRANSPOSE rule cannot differentiate a conv whose output dtype
+    differs from its inputs (the f32 cotangent meets a bf16 kernel), which
+    is exactly what bf16 mixed-precision training hits.
+    """
+    import jax.numpy as _jnp
+
+    return _jnp.float32 if x.dtype == _jnp.float32 else None
+
+
 def conv1d_mm(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -101,7 +116,7 @@ def conv1d_mm(
             rhs_dilation=(dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=groups,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_conv_pet(x),
         ).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (pl, pr), (0, 0)))
     t_pad = xp.shape[1]
@@ -201,7 +216,7 @@ def conv_transpose1d_mm(
             padding=((k - 1 - crop, k - 1 - crop),),
             lhs_dilation=(u,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_conv_pet(x),
         ).astype(x.dtype)
 
     m_max = (k - 1) // u + 1  # max taps in any phase
@@ -252,7 +267,7 @@ def conv2d_mm(
             window_strides=strides,
             padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_conv_pet(x),
         ).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
     sh, sw = strides

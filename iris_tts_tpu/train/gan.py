@@ -39,6 +39,7 @@ def make_gan_steps(
     num_scales: int = 3,
     disc_width: float = 1.0,
     accum_steps: int = 1,
+    compute_dtype=None,
 ):
     """Returns (discriminator_step, generator_step).
 
@@ -54,9 +55,10 @@ def make_gan_steps(
     """
     from iris_tts_tpu.train.steps import _accumulated_grads
 
-    gen = HiFiGANGenerator(config=cfg.hifigan)
+    dt = compute_dtype or jnp.float32
+    gen = HiFiGANGenerator(config=cfg.hifigan, dtype=dt)
     disc = HiFiGANDiscriminators(
-        periods=periods, num_scales=num_scales, width=disc_width
+        periods=periods, num_scales=num_scales, width=disc_width, dtype=dt
     )
     audio_cfg: AudioConfig = cfg.audio
 

@@ -98,13 +98,21 @@ def _accumulated_grads(loss_grad, params, batch, accum_steps: int):
 
 
 def make_duration_train_step(
-    cfg: IrisConfig, accum_steps: int = 1
+    cfg: IrisConfig, accum_steps: int = 1, compute_dtype=None
 ) -> StepFn:
     """``accum_steps > 1``: the step takes batches shaped ``[accum, B, ...]``
     (see :func:`split_microbatches`) and accumulates gradients over the
-    microbatches before the single optimizer update."""
-    encoder = PhonemeEncoder(config=cfg.encoder)
-    head = DurationPredictor(config=cfg.duration)
+    microbatches before the single optimizer update.
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed-precision training: the
+    flax modules compute in bf16 while params, gradients, the optimizer
+    update and the loss reductions stay f32 (bf16's f32-matched exponent
+    range needs no loss scaling on TPU — the standard recipe). Roughly
+    halves activation HBM traffic on the hot wall (docs/PERF.md).
+    """
+    dt = compute_dtype or jnp.float32
+    encoder = PhonemeEncoder(config=cfg.encoder, dtype=dt)
+    head = DurationPredictor(config=cfg.duration, dtype=dt)
     delta = cfg.train.duration_huber_delta
 
     def loss_fn(params, batch, dropout_rng):
@@ -201,13 +209,20 @@ def _frame_condition(encoder, frozen, batch):
     return cond, frame_mask
 
 
-def make_vae_train_step(cfg: IrisConfig, accum_steps: int = 1) -> StepFn:
+def make_vae_train_step(
+    cfg: IrisConfig, accum_steps: int = 1, compute_dtype=None
+) -> StepFn:
     """``accum_steps > 1``: batches arrive ``[accum, B, ...]`` and gradients
     accumulate across microbatches (one optimizer update, one live
     microbatch of WaveNet activations at a time — the VAE stage is the
-    memory-heavy one, so this is where large effective batches need it)."""
-    encoder = PhonemeEncoder(config=cfg.encoder)
-    vae = TextConditionedVAE(config=cfg.vae)
+    memory-heavy one, so this is where large effective batches need it).
+
+    ``compute_dtype=jnp.bfloat16``: mixed-precision compute, f32
+    params/grads/loss (see :func:`make_duration_train_step`).
+    """
+    dt = compute_dtype or jnp.float32
+    encoder = PhonemeEncoder(config=cfg.encoder, dtype=dt)
+    vae = TextConditionedVAE(config=cfg.vae, dtype=dt)
     down_factor = cfg.vae.down_factor
 
     def loss_fn(params, frozen, batch, rng, kl_weight):
@@ -289,10 +304,13 @@ def make_vae_eval_step(cfg: IrisConfig):
 # ---------------------------------------------------------------------------
 
 
-def make_postnet_train_step(cfg: IrisConfig) -> StepFn:
-    encoder = PhonemeEncoder(config=cfg.encoder)
-    vae = TextConditionedVAE(config=cfg.vae)
-    postnet = PostNet(config=cfg.postnet)
+def make_postnet_train_step(cfg: IrisConfig, compute_dtype=None) -> StepFn:
+    """``compute_dtype=jnp.bfloat16``: mixed-precision compute, f32
+    params/grads/loss (see :func:`make_duration_train_step`)."""
+    dt = compute_dtype or jnp.float32
+    encoder = PhonemeEncoder(config=cfg.encoder, dtype=dt)
+    vae = TextConditionedVAE(config=cfg.vae, dtype=dt)
+    postnet = PostNet(config=cfg.postnet, dtype=dt)
 
     def loss_fn(params, batch_stats, frozen, batch, rng):
         cond, frame_mask = _frame_condition(encoder, frozen, batch)

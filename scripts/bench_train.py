@@ -73,7 +73,9 @@ def main() -> None:
         ),
     }
     kl_w = jnp.asarray(0.01)
-    step = jax.jit(make_vae_train_step(cfg))
+    # donate_argnums=0 matches the training CLIs: the state updates in
+    # place, so the bench measures the deployed memory/throughput shape.
+    step = jax.jit(make_vae_train_step(cfg), donate_argnums=0)
 
     t0 = time.time()
     state, metrics = step(state, batch, kl_w)

@@ -122,6 +122,21 @@ def add_mesh_arg(parser: argparse.ArgumentParser) -> None:
     )
 
 
+def add_bf16_arg(parser) -> None:
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="mixed-precision training: bf16 module compute, f32 "
+        "params/grads/optimizer (no loss scaling needed on TPU); roughly "
+        "halves activation HBM traffic",
+    )
+
+
+def compute_dtype_of(args):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if getattr(args, "bf16", False) else None
+
+
 def training_place_fn(place_batch=None, accum_steps: int = 1):
     """Compose the ``TrainLoop.place_batch`` callable: optional microbatch
     split (host-side reshape, BEFORE transfer) then mesh/device placement.

@@ -42,6 +42,8 @@ from scripts.common import (
     resolve_config,
     setup_logging,
     training_place_fn,
+    add_bf16_arg,
+    compute_dtype_of,
 )
 
 
@@ -55,6 +57,7 @@ def main() -> None:
         "(effective batch = accum_steps * batch_size)",
     )
     add_mesh_arg(parser)
+    add_bf16_arg(parser)
     args = parser.parse_args()
     setup_logging(args.verbose)
     cfg = resolve_config(args)
@@ -121,7 +124,8 @@ def main() -> None:
     # every outstanding read (incl. orbax's device→host fetch) completes —
     # PJRT serializes donation behind existing usage holds.
     train_step = jax.jit(
-        make_duration_train_step(cfg, accum_steps=args.accum_steps),
+        make_duration_train_step(cfg, accum_steps=args.accum_steps,
+                                 compute_dtype=compute_dtype_of(args)),
         donate_argnums=0,
     )
     loop = TrainLoop(

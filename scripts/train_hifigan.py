@@ -35,6 +35,8 @@ from scripts.common import (
     resolve_config,
     setup_logging,
     training_place_fn,
+    add_bf16_arg,
+    compute_dtype_of,
 )
 
 logger = logging.getLogger(__name__)
@@ -113,6 +115,7 @@ def main() -> None:
         "both GAN sides (effective batch = accum_steps * batch_size)",
     )
     add_mesh_arg(parser)
+    add_bf16_arg(parser)
     parser.add_argument(
         "--ema_decay", type=float, default=0.0,
         help="exponential-moving-average decay for the generator params "
@@ -172,6 +175,7 @@ def main() -> None:
     disc_step, gen_step = make_gan_steps(
         cfg, periods=tuple(args.periods), num_scales=args.num_scales,
         disc_width=args.disc_width, accum_steps=args.accum_steps,
+        compute_dtype=compute_dtype_of(args),
     )
     # Each side donates ONLY its own updated state: disc_step(gen, disc,
     # batch) consumes disc (argnum 1); gen_step(gen, disc, batch) consumes

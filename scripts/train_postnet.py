@@ -35,6 +35,8 @@ from scripts.common import (
     resolve_config,
     setup_logging,
     training_place_fn,
+    add_bf16_arg,
+    compute_dtype_of,
 )
 from scripts.train_vae import load_frozen_encoder
 
@@ -52,6 +54,7 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     add_common_args(parser)
     add_mesh_arg(parser)
+    add_bf16_arg(parser)
     parser.add_argument(
         "--encoder_checkpoint", type=str, default=None,
         help="stage-1 checkpoint dir (default: <output_dir>/encoder/checkpoints)",
@@ -121,7 +124,12 @@ def main() -> None:
     state, start_epoch = resume_if_available(ckpt, template, steps_per_epoch)
 
     # donate_argnums=0: see train_encoder.py — in-place state update.
-    train_step = jax.jit(make_postnet_train_step(cfg), donate_argnums=0)
+    train_step = jax.jit(
+        make_postnet_train_step(
+            cfg, compute_dtype=compute_dtype_of(args)
+        ),
+        donate_argnums=0,
+    )
     place_batch = None  # loop default (jnp.asarray) off-mesh
     if args.mesh:
         state, place_batch = mesh_training_placement(

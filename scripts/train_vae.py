@@ -46,6 +46,8 @@ from scripts.common import (
     resolve_config,
     setup_logging,
     training_place_fn,
+    add_bf16_arg,
+    compute_dtype_of,
 )
 
 
@@ -74,6 +76,7 @@ def main() -> None:
         "of one batch_size (train.steps.split_microbatches)",
     )
     add_mesh_arg(parser)
+    add_bf16_arg(parser)
     args = parser.parse_args()
     setup_logging(args.verbose)
     if args.encoder_checkpoint is None:
@@ -155,7 +158,8 @@ def main() -> None:
 
     # donate_argnums=0: see train_encoder.py — in-place state update.
     train_step = jax.jit(
-        make_vae_train_step(cfg, accum_steps=args.accum_steps),
+        make_vae_train_step(cfg, accum_steps=args.accum_steps,
+                            compute_dtype=compute_dtype_of(args)),
         donate_argnums=0,
     )
     loop = TrainLoop(

@@ -25,6 +25,9 @@ def main() -> None:
     parser.add_argument("--frames", type=int, default=1024)
     parser.add_argument("--phonemes", type=int, default=128)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--bf16", action="store_true",
+                        help="mixed-precision step (bf16 compute, f32 "
+                        "params/grads) — the --bf16 training-CLI path")
     args = parser.parse_args()
 
     import jax
@@ -75,7 +78,12 @@ def main() -> None:
     kl_w = jnp.asarray(0.01)
     # donate_argnums=0 matches the training CLIs: the state updates in
     # place, so the bench measures the deployed memory/throughput shape.
-    step = jax.jit(make_vae_train_step(cfg), donate_argnums=0)
+    step = jax.jit(
+        make_vae_train_step(
+            cfg, compute_dtype=jnp.bfloat16 if args.bf16 else None
+        ),
+        donate_argnums=0,
+    )
 
     t0 = time.time()
     state, metrics = step(state, batch, kl_w)
@@ -103,6 +111,7 @@ def main() -> None:
         "unit": "frames/s",
         "step_ms": round(dt * 1e3, 2),
         "batch": [B, T],
+        "dtype": "bf16" if args.bf16 else "f32",
     }))
 
 

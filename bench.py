@@ -340,8 +340,11 @@ def main() -> None:
     # implement cost_analysis.
     sol = {}
     try:
+        # Reuse the ALREADY-JITTED synth (fresh jax.jit would re-trace and
+        # recompile the largest executable just for diagnostics). Peaks
+        # mirror scripts/roofline.py's --peak_* defaults (v5e).
         ca = (
-            jax.jit(synth)
+            synth
             .lower(pipe.params, ids, lengths, key, jnp.float32(0))
             .compile()
             .cost_analysis()

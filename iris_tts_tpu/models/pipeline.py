@@ -70,16 +70,20 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-def mel_time_major(mel: np.ndarray, n_mels: int) -> np.ndarray:
+def mel_time_major(mel, n_mels: int):
     """Normalize a mel to time-major ``[..., T, n_mels]``, accepting the
     reference layout ``[..., n_mels, T]`` (data.py:121 emits channel-major).
-    Raises when neither of the two trailing axes is ``n_mels``-sized."""
+    Raises when neither of the two trailing axes is ``n_mels``-sized.
+
+    Works on numpy AND jax arrays without converting between them (the
+    ``.swapaxes`` method dispatches per type) — a device-resident mel must
+    not bounce through the host just to fix its layout."""
     if mel.shape[-1] != n_mels:
         if mel.ndim < 2 or mel.shape[-2] != n_mels:
             raise ValueError(
                 f"mel shape {mel.shape} has no {n_mels}-sized axis"
             )
-        mel = np.swapaxes(mel, -1, -2)
+        mel = mel.swapaxes(-1, -2)
     return mel
 
 
@@ -785,31 +789,42 @@ class TTSPipeline:
         max_phonemes: Optional[int] = None,
         pcm16: bool = False,
         temperature: float = 1.0,
+        batch_sizes: Sequence[int] = (1,),
     ) -> int:
-        """Compile EVERY feasible fused-path executable before traffic.
+        """Compile every feasible fused-path executable at the given batch
+        sizes before traffic.
 
-        A fused dispatch is keyed by its (phoneme-bucket, frame-bucket)
-        pair; warming only one pair (e.g. with a short probe sentence)
-        leaves the first live request in any other pair paying the full
-        compile — minutes on remote-compile backends. This drives the
-        jitted ``_fused`` directly with synthetic ids at each reachable
-        pair (utterance CONTENT never keys the cache, only padded shapes),
+        A fused dispatch is keyed by (batch, phoneme-bucket, frame-bucket);
+        warming only one pair (e.g. with a short probe sentence) leaves the
+        first live request in any other pair paying the full compile —
+        minutes on remote-compile backends. This drives the jitted
+        ``_fused`` directly with synthetic ids at each reachable pair
+        (utterance CONTENT never keys the cache, only padded shapes),
         exactly mirroring :meth:`synthesize`'s host path so the cache keys
         match. Returns the number of executables compiled.
+
+        ``batch_sizes`` defaults to ``(1,)`` — the serving batcher routes
+        ONLY single-utterance groups through the fused path (multi-row
+        groups take the two-stage executables, which serve.py warms per
+        batch bucket). Callers dispatching batched ``synthesize(...,
+        fused=True)`` themselves should pass their batch sizes here.
         """
         pairs = self.fused_bucket_pairs(max_phonemes)
-        for p_bucket, t_bucket in pairs:
-            ids_np = np.full((1, p_bucket), self.vocab.pad_id, np.int32)
-            lengths_np = np.asarray([p_bucket], np.int32)
-            ids_dev, lengths_dev, _ = self._device_batch(ids_np, lengths_np)
-            out = self._fused(
-                self.params, ids_dev, lengths_dev, self._next_seed(0),
-                total_frames=t_bucket, temperature=temperature,
-                use_postnet=self.use_postnet, upsample=self.upsample,
-                mrf_impl=self.mrf_impl, pcm16=pcm16,
-            )
-            jax.block_until_ready(out)
-        return len(pairs)
+        for b in batch_sizes:
+            for p_bucket, t_bucket in pairs:
+                ids_np = np.full((b, p_bucket), self.vocab.pad_id, np.int32)
+                lengths_np = np.full((b,), p_bucket, np.int32)
+                ids_dev, lengths_dev, _ = self._device_batch(
+                    ids_np, lengths_np
+                )
+                out = self._fused(
+                    self.params, ids_dev, lengths_dev, self._next_seed(0),
+                    total_frames=t_bucket, temperature=temperature,
+                    use_postnet=self.use_postnet, upsample=self.upsample,
+                    mrf_impl=self.mrf_impl, pcm16=pcm16,
+                )
+                jax.block_until_ready(out)
+        return len(pairs) * len(batch_sizes)
 
     def synthesize(
         self,
@@ -950,8 +965,12 @@ class TTSPipeline:
 
     def vocode(self, mel) -> np.ndarray:
         """Log-mel → waveform. Accepts time-major [T, n_mels] / [B, T,
-        n_mels] or reference layout [n_mels, T] / [B, n_mels, T]."""
-        mel = np.asarray(mel, np.float32)
+        n_mels] or reference layout [n_mels, T] / [B, n_mels, T].
+
+        Device-resident mels stay on device (no host bounce): only the
+        layout/batch normalization runs here, per input type."""
+        if not isinstance(mel, jax.Array):
+            mel = np.asarray(mel, np.float32)
         squeeze = mel.ndim == 2
         if squeeze:
             mel = mel[None]
@@ -1035,7 +1054,7 @@ class TTSPipeline:
         chunk_frames: Optional[int] = None,
         context_frames: Optional[int] = None,
         pcm16: bool = False,
-        pad_multiple: int = 512,
+        chunk_multiple: int = 32,
     ) -> np.ndarray:
         """Log-mel → waveform, the TIME axis split across a device mesh.
 
@@ -1056,14 +1075,19 @@ class TTSPipeline:
         both serve as window lanes). Falls back to :meth:`vocode` when the
         mel is too short to split or only one device is available.
 
-        The traced mel is zero-padded to the next ``pad_multiple`` frames
-        and the chunk split derives from the PADDED length, so every mel in
-        the same ~``pad_multiple``-frame band reuses one executable (window
-        offsets are traced data, never shapes). The pad region is never
+        Executables are shared across mel lengths in bands: the per-device
+        chunk quantizes UP to a ``chunk_multiple`` (so the chunk — a static
+        slice size — changes only every ``n_dev·chunk_multiple`` frames of
+        T), the traced mel zero-pads to the next chunk boundary, and window
+        offsets are traced data, never shapes. The pad region is never
         read: the plan's clamp guarantee keeps every window inside the true
         ``T`` frames, so the output stays sample-identical to the full
         pass. First compiles take minutes on remote-compile backends —
-        without this, a 60.0 s then a 60.1 s utterance would compile twice.
+        without banding, a 60.0 s then a 60.1 s utterance would compile
+        twice. The chunk quantum (not a whole-T pad) keeps mid-length mels
+        on the sharded path: inflating the chunk to a large T band would
+        push ``window ≥ T`` and silently fall back to the single-device
+        pass, forfeiting the ~1/D latency this method exists for.
         """
         if mesh is None:
             mesh = self._mesh
@@ -1082,8 +1106,9 @@ class TTSPipeline:
 
         if context_frames is None:
             context_frames = receptive_radius_frames(self.config.hifigan)
-        t_pad = round_up_to_multiple(t, max(1, pad_multiple))
-        chunk = chunk_frames or -(-t_pad // n_dev)
+        chunk = chunk_frames or round_up_to_multiple(
+            -(-t // n_dev), max(1, chunk_multiple)
+        )
         window = chunk + 2 * context_frames
         if n_dev == 1 or t <= window:
             audio = self.vocode(mel if not squeeze else mel[0])
@@ -1092,13 +1117,14 @@ class TTSPipeline:
         # Fewer windows than devices (short mel / explicit chunk_frames):
         # idle lanes recompute the last window; their output is dropped at
         # reassembly. len(plan) = ceil(t/chunk) ≤ n_dev by construction
-        # when chunk defaults to ceil(t_pad/n_dev).
+        # when chunk defaults to ceil(t/n_dev) rounded up.
         if len(plan) > n_dev:
             raise ValueError(
                 f"chunk_frames={chunk} yields {len(plan)} windows for "
                 f"{n_dev} devices; use chunk_frames >= ceil(T/n_devices)"
             )
         padded = plan + [plan[-1]] * (n_dev - len(plan))
+        t_pad = round_up_to_multiple(t, chunk)  # banded traced shape
         if t_pad > t:
             mel = np.concatenate(
                 [mel, np.zeros((mel.shape[0], t_pad - t, mel.shape[2]),

@@ -104,6 +104,7 @@ class CheckpointManager:
     def all_steps(self) -> list:
         """Retained checkpoint steps, ascending (public accessor so tools
         like scripts/average_checkpoints.py never touch the orbax handle)."""
+        self._mgr.wait_until_finished()  # async saves: settle before read
         return sorted(self._mgr.all_steps())
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:

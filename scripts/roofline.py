@@ -75,17 +75,21 @@ def main() -> None:
     mel = jnp.zeros((B, T, cfg.hifigan.in_channels), jnp.float32)
 
     stages = {}
+    # upsample takes the pipeline's own mode string ('hard'|'gaussian') so
+    # the analyzed executables carry the SAME static jit keys production
+    # uses — bench.py and these numbers must describe one module.
     stages["text_to_mel (enc+dur+VAE+PostNet)"] = _cost(
         pipe._fused_mel_fn, pipe.params, ids, lengths, seed,
-        total_frames=T, use_postnet=True, upsample=False,
+        total_frames=T, use_postnet=pipe.use_postnet,
+        upsample=pipe.upsample,
     )
     stages["vocoder (HiFiGAN)"] = _cost(
         pipe._vocode_fn, pipe.params, mel, mrf_impl="xla",
     )
     stages["fused end-to-end"] = _cost(
         pipe._fused_fn, pipe.params, ids, lengths, seed,
-        total_frames=T, use_postnet=True, upsample=True,
-        mrf_impl="xla", pcm16=True,
+        total_frames=T, use_postnet=pipe.use_postnet,
+        upsample=pipe.upsample, mrf_impl="xla", pcm16=True,
     )
 
     peak_fl = args.peak_tflops * 1e12

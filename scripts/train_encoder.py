@@ -120,9 +120,12 @@ def main() -> None:
 
     # donate_argnums=0: the previous TrainState's buffers alias the new
     # one in place (halves the params+opt-state footprint of the update).
-    # Safe with async checkpointing: a donated buffer is only reused after
-    # every outstanding read (incl. orbax's device→host fetch) completes —
-    # PJRT serializes donation behind existing usage holds.
+    # Safe with async checkpointing because orbax performs the
+    # device→host copy INSIDE the blocking part of save() (only the disk
+    # commit is backgrounded) — by the time the loop can call the next
+    # donating step, the checkpoint no longer reads device buffers. A
+    # checkpoint writer that defers the device fetch to its background
+    # thread would break this invariant.
     train_step = jax.jit(
         make_duration_train_step(cfg, accum_steps=args.accum_steps,
                                  compute_dtype=compute_dtype_of(args)),

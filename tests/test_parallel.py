@@ -212,7 +212,7 @@ def test_vocode_sharded_equality(devices):
         got = pipe.vocode_sharded(mel, mesh)
         assert got.shape == want.shape == (t * up,)
         np.testing.assert_array_equal(got, want)
-    # Novel lengths inside one pad_multiple band reuse ONE executable:
+    # Novel lengths inside one chunk band reuse ONE executable:
     # window offsets are traced data, and T pads to the band size.
     assert pipe._vocode_sp._cache_size() == base_cache + 1
 

@@ -26,12 +26,11 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
 
 from iris_tts_tpu.config import AudioConfig
-from iris_tts_tpu.data.audio_io import load_audio
 from iris_tts_tpu.data.textgrid import (
     durations_to_frames,
     load_alignment_cache,

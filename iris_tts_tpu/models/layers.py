@@ -9,7 +9,7 @@ natively — instead of XLA's 1-D conv lowering.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple, Union
+from typing import Any, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -17,7 +17,6 @@ import logging
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

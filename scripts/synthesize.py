@@ -29,7 +29,6 @@ import numpy as np
 from iris_tts_tpu.config import IrisConfig, load_config
 from iris_tts_tpu.data.audio_io import write_wav
 from iris_tts_tpu.models.pipeline import TTSPipeline
-from iris_tts_tpu.text.phonemes import PhonemeVocab
 from scripts.common import setup_logging
 
 logger = logging.getLogger(__name__)

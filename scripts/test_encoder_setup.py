@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from iris_tts_tpu.data.batching import BucketedBatcher, collate_duration_batch
+from iris_tts_tpu.data.batching import collate_duration_batch
 from iris_tts_tpu.data.ljspeech import LJSpeechDurationDataset, Sample
 from iris_tts_tpu.models import DurationPredictor, PhonemeEncoder
 from iris_tts_tpu.ops.losses import duration_huber_loss

@@ -22,7 +22,6 @@ import numpy as np
 from iris_tts_tpu.data.audio_io import load_audio, write_wav
 from iris_tts_tpu.data.ljspeech import LJSpeechVAEDataset
 from iris_tts_tpu.models import TextConditionedVAE
-from iris_tts_tpu.models.pipeline import TTSPipeline
 from iris_tts_tpu.ops.length import length_regulate, round_up_to_multiple
 from scripts.common import add_common_args, resolve_config, setup_logging
 from scripts.train_postnet import load_frozen_vae

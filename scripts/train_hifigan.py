@@ -23,7 +23,7 @@ from iris_tts_tpu.data.ljspeech import LJSpeechVAEDataset
 from iris_tts_tpu.data.native import load_audio
 from iris_tts_tpu.models.discriminators import HiFiGANDiscriminators
 from iris_tts_tpu.models.hifigan import HiFiGANGenerator
-from iris_tts_tpu.train import TrainState, adam_clipped
+from iris_tts_tpu.train import TrainState
 from iris_tts_tpu.train.checkpoint import CheckpointManager
 from iris_tts_tpu.train.gan import make_gan_steps
 from iris_tts_tpu.utils.metrics import MetricsWriter

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from iris_tts_tpu.data.batching import BucketedBatcher
 from iris_tts_tpu.data.ljspeech import LJSpeechVAEDataset
-from iris_tts_tpu.models import PostNet, TextConditionedVAE
+from iris_tts_tpu.models import PostNet
 from iris_tts_tpu.train import (
     TrainState,
     adam_clipped,
@@ -80,8 +80,6 @@ def main() -> None:
     # Architecture comes from the stage-2 config file when available
     # (reference: train_postnet.py:110-133).
     if args.vae_config and Path(args.vae_config).exists():
-        from iris_tts_tpu.config import load_config
-
         args.config = args.vae_config
     cfg = resolve_config(args)
 

@@ -22,11 +22,7 @@ import jax.numpy as jnp
 
 from iris_tts_tpu.data.batching import BucketedBatcher
 from iris_tts_tpu.data.ljspeech import LJSpeechVAEDataset
-from iris_tts_tpu.models import (
-    DurationPredictor,
-    PhonemeEncoder,
-    TextConditionedVAE,
-)
+from iris_tts_tpu.models import TextConditionedVAE
 from iris_tts_tpu.train import (
     TrainState,
     adam_clipped,

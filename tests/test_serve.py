@@ -436,10 +436,15 @@ def test_stream_completes_under_queue_pressure(pipeline):
             conn.request("POST", "/synthesize_stream",
                          body=json.dumps({"text": text, "seed": 1}),
                          headers={"Content-Type": "application/json"})
-            for t in threads:
-                t.start()
+            # Receive the 200 (sent at first-chunk ADMISSION) before
+            # unleashing the competitors: a first chunk racing a full
+            # 1-deep queue may legitimately 503 (backpressure applies to
+            # stream admission); what must survive pressure is every
+            # CONTINUATION chunk of an already-admitted stream.
             resp = conn.getresponse()
             assert resp.status == 200
+            for t in threads:
+                t.start()
             chunks = _read_chunked(resp)
             # every sentence + every gap arrived (stream not truncated)
             assert len(chunks) == 2 * n_chunks - 1

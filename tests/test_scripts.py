@@ -25,13 +25,14 @@ SMALL_CFG = {
 }
 
 
-def _run(args, timeout=420):
+def _run(args, timeout=420, extra_env=None):
     env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin:/usr/local/bin",
            "JAX_PLATFORMS": "cpu", "HOME": "/root",
            # Share the persistent compile cache with conftest so subprocess
            # tests don't recompile the big graphs every suite run.
            "JAX_COMPILATION_CACHE_DIR": str(REPO / ".jax_cache_cpu"),
            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "5"}
+    env.update(extra_env or {})
     return subprocess.run(
         [sys.executable, *args], cwd=REPO, env=env,
         capture_output=True, text=True, timeout=timeout,
@@ -190,3 +191,37 @@ def test_roofline_cli_json():
     assert e2e["gflops"] >= voc["gflops"]
     assert voc["bound"] in ("HBM", "FLOPs")
     assert 0 < e2e["sol_rt_factor"] < 1e7
+
+
+def test_train_encoder_cli_all_training_features(small_cfg_file, tmp_path):
+    """Every training feature at once through the real CLI: --mesh (4x2
+    data x model) + --model_parallel 2 + --accum_steps 2 + --bf16, on top
+    of the always-on donation, prefetch thread, and async checkpointing —
+    the combination is what a production run uses, and combinations are
+    where aliasing/placement bugs hide (the EMA-donation bug was one)."""
+    from tests.corpus_utils import build_mini_corpus
+
+    root, align = build_mini_corpus(tmp_path, n=8)
+    out = tmp_path / "outputs_all"
+    r = _run([
+        "scripts/train_encoder.py",
+        "--config", str(small_cfg_file),
+        "--data_root", str(root),
+        "--alignment_dir", str(align),
+        "--cache_dir", str(tmp_path / "cache_all"),
+        "--output_dir", str(out),
+        "--batch_size", "4",
+        "--num_epochs", "2",
+        "--mesh", "--model_parallel", "2",
+        "--accum_steps", "2",
+        "--bf16",
+    ], extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "encoder" / "checkpoints").exists()
+    assert "mesh training on" in (r.stderr + r.stdout)
+    # loss is finite in the metrics CSV (long format: step,name,value,time)
+    import math
+    rows = (out / "encoder" / "metrics.csv").read_text().strip().splitlines()
+    losses = [float(r.split(",")[2]) for r in rows[1:]
+              if r.split(",")[1] == "duration_loss"]
+    assert losses and all(math.isfinite(v) for v in losses), rows[:3]

@@ -199,14 +199,26 @@ class TextConditionedVAE(nn.Module):
 
     config: VAEConfig = VAEConfig()
     dtype: Any = jnp.float32
+    # Rematerialize the WaveNet residual blocks in the backward pass
+    # (jax.checkpoint via nn.remat): the blocks' GELU/FiLM/dropout
+    # activations — the bulk of training memory at [B, T, C] per block —
+    # are recomputed from each block's input instead of stored, trading
+    # one extra forward per block for ~num_blocks× less activation HBM.
+    # `deterministic` is a static argument (it selects python control
+    # flow in nn.Dropout).
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
+        block_cls = (
+            nn.remat(WaveNetResBlock, static_argnums=(3,))
+            if self.remat else WaveNetResBlock
+        )
         self.in_proj = Conv1d(
             cfg.model_channels, 1, dtype=self.dtype, name="in_proj"
         )
         self.enc_blocks = [
-            WaveNetResBlock(
+            block_cls(
                 cfg.model_channels,
                 cfg.wavenet_kernel_size,
                 dilation=2 ** (i % 4),
@@ -246,7 +258,7 @@ class TextConditionedVAE(nn.Module):
             cfg.model_channels, dtype=self.dtype, name="latent_dec_proj"
         )
         self.dec_blocks = [
-            WaveNetResBlock(
+            block_cls(
                 cfg.model_channels,
                 cfg.wavenet_kernel_size,
                 dilation=2 ** (i % 4),
@@ -278,7 +290,7 @@ class TextConditionedVAE(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         d = self.latent_dec_proj(z)
         for block in self.dec_blocks:
-            d = block(d, lat_cond, deterministic=deterministic)
+            d = block(d, lat_cond, deterministic)
         d_up = self.upsample(d)
         recon = self.out_proj(d_up)  # [B, T, n_mels]
         residual = self.residual_proj(d_up)  # [B, T, cond_dim]
@@ -303,7 +315,7 @@ class TextConditionedVAE(nn.Module):
         """
         h = self.in_proj(mel)
         for block in self.enc_blocks:
-            h = block(h, frame_cond, deterministic=deterministic)
+            h = block(h, frame_cond, deterministic)
 
         lat_cond = self._latent_cond(frame_cond)
         lat_h = self.downsample(h)

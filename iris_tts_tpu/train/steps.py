@@ -210,7 +210,8 @@ def _frame_condition(encoder, frozen, batch):
 
 
 def make_vae_train_step(
-    cfg: IrisConfig, accum_steps: int = 1, compute_dtype=None
+    cfg: IrisConfig, accum_steps: int = 1, compute_dtype=None,
+    remat: bool = False,
 ) -> StepFn:
     """``accum_steps > 1``: batches arrive ``[accum, B, ...]`` and gradients
     accumulate across microbatches (one optimizer update, one live
@@ -219,10 +220,17 @@ def make_vae_train_step(
 
     ``compute_dtype=jnp.bfloat16``: mixed-precision compute, f32
     params/grads/loss (see :func:`make_duration_train_step`).
+
+    ``remat=True`` rematerializes the WaveNet blocks' activations in the
+    backward pass (jax.checkpoint) — the VAE stage is the memory-heavy
+    one, and remat trades one extra block forward for ~num_blocks× less
+    activation HBM, buying bigger batches / longer mels per chip.
+    Forward losses are bit-identical (same rng threading); gradients
+    agree up to float reassociation (~1e-10, pinned under SGD in tests).
     """
     dt = compute_dtype or jnp.float32
     encoder = PhonemeEncoder(config=cfg.encoder, dtype=dt)
-    vae = TextConditionedVAE(config=cfg.vae, dtype=dt)
+    vae = TextConditionedVAE(config=cfg.vae, dtype=dt, remat=remat)
     down_factor = cfg.vae.down_factor
 
     def loss_fn(params, frozen, batch, rng, kl_weight):

@@ -73,6 +73,12 @@ def main() -> None:
     )
     add_mesh_arg(parser)
     add_bf16_arg(parser)
+    parser.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize WaveNet-block activations in the backward "
+        "pass (jax.checkpoint): ~num_blocks x less activation memory for "
+        "one extra block forward — bigger batches / longer mels per chip",
+    )
     args = parser.parse_args()
     setup_logging(args.verbose)
     if args.encoder_checkpoint is None:
@@ -155,7 +161,8 @@ def main() -> None:
     # donate_argnums=0: see train_encoder.py — in-place state update.
     train_step = jax.jit(
         make_vae_train_step(cfg, accum_steps=args.accum_steps,
-                            compute_dtype=compute_dtype_of(args)),
+                            compute_dtype=compute_dtype_of(args),
+                            remat=args.remat),
         donate_argnums=0,
     )
     loop = TrainLoop(

@@ -398,3 +398,42 @@ def test_bf16_mixed_precision_training(rng):
     gs, gm = jax.jit(g_step)(gs, ds_, b)
     assert np.isfinite(float(dm["disc_loss"]))
     assert np.isfinite(float(gm["gen_total"]))
+
+
+def test_remat_vae_step_matches_no_remat(rng):
+    """remat=True (jax.checkpoint over the WaveNet blocks): forward loss is
+    bit-identical (same rng threading through the lifted transform) and
+    SGD-updated params agree to float-reassociation tolerance."""
+    import optax
+
+    key = jax.random.PRNGKey(1)
+    enc = PhonemeEncoder(config=CFG.encoder)
+    vae = TextConditionedVAE(config=CFG.vae)
+    ids = jnp.zeros((1, P), jnp.int32)
+    p_enc = enc.init(key, ids)["params"]
+    p_vae = vae.init(
+        {"params": key, "sample": key},
+        jnp.zeros((1, T, CFG.vae.n_mels)),
+        jnp.zeros((1, T, CFG.vae.cond_dim)),
+    )["params"]
+    batch = _vae_batch(rng)
+
+    outs = {}
+    for remat in (False, True):
+        st = TrainState.create(
+            p_vae, optax.sgd(1e-2), key, frozen={"encoder": p_enc}
+        )
+        step = jax.jit(make_vae_train_step(CFG, remat=remat))
+        losses = []
+        for _ in range(3):
+            st, m = step(st, batch, jnp.asarray(0.01))
+            losses.append(float(m["total"]))
+        outs[remat] = (losses, st.params)
+    assert outs[False][0] == outs[True][0]  # forward bit-identical
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[False][1]),
+        jax.tree_util.tree_leaves(outs[True][1]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-8, rtol=1e-6
+        )

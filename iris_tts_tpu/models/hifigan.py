@@ -144,11 +144,18 @@ class HiFiGANGenerator(nn.Module):
 
     config: HiFiGANConfig = HiFiGANConfig()
     dtype: Any = jnp.float32
+    # Rematerialize each MRF resblock in the backward pass
+    # (jax.checkpoint): resblock activations live at the UPSAMPLED time
+    # rate (up to 256x the mel rate at the last stage), so they dominate
+    # GAN-training memory; remat recomputes them from each block's input
+    # for one extra forward per block. Inference is unaffected.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         num_kernels = len(cfg.resblock_kernel_sizes)
+        block_cls = nn.remat(ResBlock) if self.remat else ResBlock
 
         x = TorchConv1d(
             cfg.upsample_initial_channel, 7, dtype=self.dtype, name="conv_pre"
@@ -167,7 +174,7 @@ class HiFiGANGenerator(nn.Module):
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations)
             ):
-                out = ResBlock(
+                out = block_cls(
                     ch,
                     rk,
                     rd,

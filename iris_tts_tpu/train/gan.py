@@ -40,6 +40,7 @@ def make_gan_steps(
     disc_width: float = 1.0,
     accum_steps: int = 1,
     compute_dtype=None,
+    remat: bool = False,
 ):
     """Returns (discriminator_step, generator_step).
 
@@ -56,7 +57,7 @@ def make_gan_steps(
     from iris_tts_tpu.train.steps import _accumulated_grads
 
     dt = compute_dtype or jnp.float32
-    gen = HiFiGANGenerator(config=cfg.hifigan, dtype=dt)
+    gen = HiFiGANGenerator(config=cfg.hifigan, dtype=dt, remat=remat)
     disc = HiFiGANDiscriminators(
         periods=periods, num_scales=num_scales, width=disc_width, dtype=dt
     )

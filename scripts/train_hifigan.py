@@ -117,6 +117,12 @@ def main() -> None:
     add_mesh_arg(parser)
     add_bf16_arg(parser)
     parser.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize MRF resblock activations in the generator's "
+        "backward pass (jax.checkpoint): resblocks run at the upsampled "
+        "audio rate and dominate GAN memory",
+    )
+    parser.add_argument(
         "--ema_decay", type=float, default=0.0,
         help="exponential-moving-average decay for the generator params "
         "(e.g. 0.999); the averaged generator is what the checkpoint's "
@@ -175,7 +181,7 @@ def main() -> None:
     disc_step, gen_step = make_gan_steps(
         cfg, periods=tuple(args.periods), num_scales=args.num_scales,
         disc_width=args.disc_width, accum_steps=args.accum_steps,
-        compute_dtype=compute_dtype_of(args),
+        compute_dtype=compute_dtype_of(args), remat=args.remat,
     )
     # Each side donates ONLY its own updated state: disc_step(gen, disc,
     # batch) consumes disc (argnum 1); gen_step(gen, disc, batch) consumes

@@ -223,3 +223,50 @@ def test_gan_accumulation_matches_full_batch(rng):
         jax.tree_util.tree_leaves(gen_full.params),
     ):
         np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_gan_remat_generator_matches_no_remat():
+    """make_gan_steps(remat=True): MRF resblocks rematerialize in the
+    generator's backward pass — SGD-updated generator params agree with the
+    stored-activation path to float-reassociation tolerance."""
+    import optax
+
+    from iris_tts_tpu.train import TrainState
+    from iris_tts_tpu.train.gan import make_gan_steps
+    from iris_tts_tpu.models.discriminators import HiFiGANDiscriminators
+
+    T = 16
+    hop = _CFG.hifigan.total_upsample
+    gen = HiFiGANGenerator(config=_CFG.hifigan)
+    disc = HiFiGANDiscriminators(periods=(2,), num_scales=1, width=0.25)
+    k_g, k_d = jax.random.split(jax.random.PRNGKey(0))
+    p_gen = gen.init(
+        k_g, jnp.zeros((1, T, _CFG.hifigan.in_channels))
+    )["params"]
+    p_disc = disc.init(k_d, jnp.zeros((2, T * hop)))["params"]
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal(
+            (2, T, _CFG.hifigan.in_channels)).astype(np.float32)),
+        "audio": jnp.asarray(
+            rng.standard_normal((2, T * hop)).astype(np.float32) * 0.1),
+    }
+
+    outs = {}
+    for remat in (False, True):
+        gs = TrainState.create(p_gen, optax.sgd(1e-3), k_g)
+        ds = TrainState.create(p_disc, optax.sgd(1e-3), k_d)
+        d_step, g_step = make_gan_steps(
+            _CFG, periods=(2,), num_scales=1, disc_width=0.25, remat=remat
+        )
+        ds, _ = jax.jit(d_step)(gs, ds, batch)
+        gs, gm = jax.jit(g_step)(gs, ds, batch)
+        outs[remat] = (float(gm["gen_total"]), gs.params)
+    assert outs[False][0] == outs[True][0]  # forward bit-identical
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[False][1]),
+        jax.tree_util.tree_leaves(outs[True][1]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-8, rtol=1e-6
+        )

@@ -137,6 +137,47 @@ def compute_dtype_of(args):
     return jnp.bfloat16 if getattr(args, "bf16", False) else None
 
 
+def add_checkify_arg(parser) -> None:
+    parser.add_argument(
+        "--checkify", action="store_true",
+        help="debug mode: run the train step under jax.experimental."
+        "checkify float/index checks — NaN/Inf/out-of-bounds inside the "
+        "jitted step raise WITH the failing operation's location instead "
+        "of silently poisoning the run (SURVEY §5 sanitizers; slower, "
+        "disables buffer donation)",
+    )
+
+
+def jit_train_step(step_fn, checkify_enabled: bool = False,
+                   donate: bool = True):
+    """jit a ``(state, batch, *extras) → (state, metrics)`` step.
+
+    Default: donating jit (in-place state update). With
+    ``checkify_enabled``: the step runs under checkify float+index checks
+    and every call raises at the first NaN/Inf/bad index, pinpointing the
+    op — the debug counterpart of utils.prof.guard_finite's coarse
+    post-hoc check. Donation is off in this mode (the error state threads
+    through the same buffers).
+    """
+    import jax
+
+    if not checkify_enabled:
+        return jax.jit(step_fn, donate_argnums=0 if donate else ())
+    from jax.experimental import checkify
+
+    checked = checkify.checkify(
+        step_fn, errors=checkify.float_checks | checkify.index_checks
+    )
+    jitted = jax.jit(checked)
+
+    def step(state, batch, *extras):
+        err, out = jitted(state, batch, *extras)
+        checkify.check_error(err)
+        return out
+
+    return step
+
+
 def training_place_fn(place_batch=None, accum_steps: int = 1):
     """Compose the ``TrainLoop.place_batch`` callable: optional microbatch
     split (host-side reshape, BEFORE transfer) then mesh/device placement.

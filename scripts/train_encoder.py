@@ -43,6 +43,8 @@ from scripts.common import (
     setup_logging,
     training_place_fn,
     add_bf16_arg,
+    add_checkify_arg,
+    jit_train_step,
     compute_dtype_of,
 )
 
@@ -58,6 +60,7 @@ def main() -> None:
     )
     add_mesh_arg(parser)
     add_bf16_arg(parser)
+    add_checkify_arg(parser)
     args = parser.parse_args()
     setup_logging(args.verbose)
     cfg = resolve_config(args)
@@ -126,10 +129,10 @@ def main() -> None:
     # donating step, the checkpoint no longer reads device buffers. A
     # checkpoint writer that defers the device fetch to its background
     # thread would break this invariant.
-    train_step = jax.jit(
+    train_step = jit_train_step(
         make_duration_train_step(cfg, accum_steps=args.accum_steps,
                                  compute_dtype=compute_dtype_of(args)),
-        donate_argnums=0,
+        checkify_enabled=args.checkify,
     )
     loop = TrainLoop(
         state=state,

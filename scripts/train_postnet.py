@@ -36,6 +36,8 @@ from scripts.common import (
     setup_logging,
     training_place_fn,
     add_bf16_arg,
+    add_checkify_arg,
+    jit_train_step,
     compute_dtype_of,
 )
 from scripts.train_vae import load_frozen_encoder
@@ -55,6 +57,7 @@ def main() -> None:
     add_common_args(parser)
     add_mesh_arg(parser)
     add_bf16_arg(parser)
+    add_checkify_arg(parser)
     parser.add_argument(
         "--encoder_checkpoint", type=str, default=None,
         help="stage-1 checkpoint dir (default: <output_dir>/encoder/checkpoints)",
@@ -122,11 +125,11 @@ def main() -> None:
     state, start_epoch = resume_if_available(ckpt, template, steps_per_epoch)
 
     # donate_argnums=0: see train_encoder.py — in-place state update.
-    train_step = jax.jit(
+    train_step = jit_train_step(
         make_postnet_train_step(
             cfg, compute_dtype=compute_dtype_of(args)
         ),
-        donate_argnums=0,
+        checkify_enabled=args.checkify,
     )
     place_batch = None  # loop default (jnp.asarray) off-mesh
     if args.mesh:

@@ -43,6 +43,8 @@ from scripts.common import (
     setup_logging,
     training_place_fn,
     add_bf16_arg,
+    add_checkify_arg,
+    jit_train_step,
     compute_dtype_of,
 )
 
@@ -73,6 +75,7 @@ def main() -> None:
     )
     add_mesh_arg(parser)
     add_bf16_arg(parser)
+    add_checkify_arg(parser)
     parser.add_argument(
         "--remat", action="store_true",
         help="rematerialize WaveNet-block activations in the backward "
@@ -159,11 +162,11 @@ def main() -> None:
         )
 
     # donate_argnums=0: see train_encoder.py — in-place state update.
-    train_step = jax.jit(
+    train_step = jit_train_step(
         make_vae_train_step(cfg, accum_steps=args.accum_steps,
                             compute_dtype=compute_dtype_of(args),
                             remat=args.remat),
-        donate_argnums=0,
+        checkify_enabled=args.checkify,
     )
     loop = TrainLoop(
         state=state,

@@ -1,6 +1,7 @@
 """Train-step tests: losses go down, state advances, batch stats update."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -437,3 +438,29 @@ def test_remat_vae_step_matches_no_remat(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-8, rtol=1e-6
         )
+
+
+def test_checkify_step_pinpoints_nan(rng):
+    """scripts.common.jit_train_step(checkify_enabled=True): a NaN entering
+    the step raises a located checkify error instead of silently poisoning
+    the run; the clean path still trains."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from scripts.common import jit_train_step
+
+    state = _init_duration_state(jax.random.PRNGKey(0))
+    step = jit_train_step(
+        make_duration_train_step(CFG), checkify_enabled=True
+    )
+    batch = _duration_batch(rng)
+    state, m = step(state, batch)  # clean batch passes
+    assert np.isfinite(float(m["duration_loss"]))
+
+    bad = dict(batch)
+    bad["durations"] = batch["durations"].at[0, 0].set(jnp.nan)
+    from jax.experimental import checkify as _ck
+
+    with pytest.raises(_ck.JaxRuntimeError, match="nan"):
+        step(state, bad)

@@ -967,9 +967,14 @@ class TTSPipeline:
         """Log-mel → waveform. Accepts time-major [T, n_mels] / [B, T,
         n_mels] or reference layout [n_mels, T] / [B, n_mels, T].
 
-        Device-resident mels stay on device (no host bounce): only the
-        layout/batch normalization runs here, per input type."""
-        if not isinstance(mel, jax.Array):
+        Device-resident mels stay on device (no host bounce): layout and
+        dtype normalization happen per input type (a non-f32 device mel
+        casts ON DEVICE — otherwise it would key a second executable on
+        dtype, or fail outright for f64 on TPU)."""
+        if isinstance(mel, jax.Array):
+            if mel.dtype != jnp.float32:
+                mel = mel.astype(jnp.float32)
+        else:
             mel = np.asarray(mel, np.float32)
         squeeze = mel.ndim == 2
         if squeeze:
@@ -1124,7 +1129,10 @@ class TTSPipeline:
                 f"{n_dev} devices; use chunk_frames >= ceil(T/n_devices)"
             )
         padded = plan + [plan[-1]] * (n_dev - len(plan))
-        t_pad = round_up_to_multiple(t, chunk)  # banded traced shape
+        # ONE executable per chunk value: the traced shape is always
+        # chunk·n_dev (≥ t by the guard above; padding to a mere multiple
+        # of chunk would still compile up to n_dev shapes per band).
+        t_pad = chunk * n_dev
         if t_pad > t:
             mel = np.concatenate(
                 [mel, np.zeros((mel.shape[0], t_pad - t, mel.shape[2]),

@@ -149,8 +149,10 @@ def add_checkify_arg(parser) -> None:
 
 
 def jit_train_step(step_fn, checkify_enabled: bool = False,
-                   donate: bool = True):
-    """jit a ``(state, batch, *extras) → (state, metrics)`` step.
+                   donate_argnums=0):
+    """jit a train step (``(state, batch, *extras)`` or the GAN's
+    ``(gen_state, disc_state, batch)`` shape — ``donate_argnums`` says
+    which argument is the updated state).
 
     Default: donating jit (in-place state update). With
     ``checkify_enabled``: the step runs under checkify float+index checks
@@ -162,7 +164,7 @@ def jit_train_step(step_fn, checkify_enabled: bool = False,
     import jax
 
     if not checkify_enabled:
-        return jax.jit(step_fn, donate_argnums=0 if donate else ())
+        return jax.jit(step_fn, donate_argnums=donate_argnums)
     from jax.experimental import checkify
 
     checked = checkify.checkify(

@@ -5,7 +5,7 @@
 # Each step appends to $OUT; a step that cannot claim the device fails fast
 # rather than blocking the rest.
 set -u
-OUT="${1:-onchip_evidence}"
+OUT="$(realpath -m "${1:-onchip_evidence}")"  # absolute BEFORE the cd
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 

@@ -36,7 +36,9 @@ from scripts.common import (
     setup_logging,
     training_place_fn,
     add_bf16_arg,
+    add_checkify_arg,
     compute_dtype_of,
+    jit_train_step,
 )
 
 logger = logging.getLogger(__name__)
@@ -116,6 +118,7 @@ def main() -> None:
     )
     add_mesh_arg(parser)
     add_bf16_arg(parser)
+    add_checkify_arg(parser)
     parser.add_argument(
         "--remat", action="store_true",
         help="rematerialize MRF resblock activations in the generator's "
@@ -186,9 +189,12 @@ def main() -> None:
     # Each side donates ONLY its own updated state: disc_step(gen, disc,
     # batch) consumes disc (argnum 1); gen_step(gen, disc, batch) consumes
     # gen (argnum 0). The other side's state and the batch are read twice
-    # per round and must stay live.
-    disc_step = jax.jit(disc_step, donate_argnums=1)
-    gen_step = jax.jit(gen_step, donate_argnums=0)
+    # per round and must stay live. --checkify swaps both for located
+    # NaN/Inf/index-error checking (donation off in that mode).
+    disc_step = jit_train_step(disc_step, checkify_enabled=args.checkify,
+                               donate_argnums=1)
+    gen_step = jit_train_step(gen_step, checkify_enabled=args.checkify,
+                              donate_argnums=0)
 
     out = Path(args.output_dir) / "hifigan_gan"
     gen_ckpt = CheckpointManager(out / "gen", cfg)

@@ -206,14 +206,17 @@ def test_vocode_sharded_equality(devices):
     mesh = build_mesh(MeshConfig(data_parallel=8, model_parallel=1), devices)
 
     base_cache = pipe._vocode_sp._cache_size()
-    for t in (200, 203):  # even and uneven splits
+    # 200/203: even and uneven splits; 230 would differ under mere
+    # round-up-to-chunk padding (224 vs 256) — the traced shape must be
+    # chunk*n_dev so the WHOLE chunk band shares one executable.
+    for t in (200, 203, 230):
         mel = rng.standard_normal((t, n_mels)).astype(np.float32)
         want = pipe.vocode(mel)
         got = pipe.vocode_sharded(mel, mesh)
         assert got.shape == want.shape == (t * up,)
         np.testing.assert_array_equal(got, want)
     # Novel lengths inside one chunk band reuse ONE executable:
-    # window offsets are traced data, and T pads to the band size.
+    # window offsets are traced data, and T pads to chunk*n_dev.
     assert pipe._vocode_sp._cache_size() == base_cache + 1
 
     # pcm16 device-side quantization matches host quantization of vocode

@@ -144,8 +144,13 @@ HostArray ReadNpy(const std::string& path) {
   } else {
     f.read(reinterpret_cast<char*>(&header_len), 4);
   }
+  // Hostile-input bound: real npy headers are well under 64 KiB; a forged
+  // multi-GiB header_len must not drive a giant allocation.
+  if (header_len == 0 || header_len > (1u << 20))
+    Fatal(path + ": implausible npy header length");
   std::string header(header_len, '\0');
   f.read(header.data(), header_len);
+  if (!f) Fatal(path + ": truncated npy header");
   auto field = [&](const char* key) -> std::string {
     size_t k = header.find(key);
     if (k == std::string::npos) Fatal(path + ": npy header missing " + key);
@@ -153,7 +158,10 @@ HostArray ReadNpy(const std::string& path) {
   };
   std::string descr = field("'descr'");
   size_t q1 = descr.find('\'', 8);
-  size_t q2 = descr.find('\'', q1 + 1);
+  size_t q2 = q1 == std::string::npos
+                  ? std::string::npos
+                  : descr.find('\'', q1 + 1);
+  if (q2 == std::string::npos) Fatal(path + ": malformed descr field");
   std::string dt = descr.substr(q1 + 1, q2 - q1 - 1);
   HostArray arr;
   arr.dtype = DtypeByNpy(dt);
@@ -162,13 +170,30 @@ HostArray ReadNpy(const std::string& path) {
     Fatal(path + ": fortran_order arrays unsupported");
   std::string shape = field("'shape'");
   size_t p1 = shape.find('('), p2 = shape.find(')');
+  if (p1 == std::string::npos || p2 == std::string::npos || p2 < p1)
+    Fatal(path + ": malformed shape field");
   std::stringstream ss(shape.substr(p1 + 1, p2 - p1 - 1));
   std::string tok;
   while (std::getline(ss, tok, ',')) {
     if (tok.find_first_of("0123456789") == std::string::npos) continue;
-    arr.dims.push_back(std::stoll(tok));
+    int64_t d = 0;
+    try {
+      d = std::stoll(tok);
+    } catch (const std::exception&) {  // 10^40-digit dims etc.
+      Fatal(path + ": malformed shape dimension '" + tok + "'");
+    }
+    if (d < 0) Fatal(path + ": negative shape dimension");
+    arr.dims.push_back(d);
   }
-  arr.data.resize(arr.NumElements() * arr.dtype->itemsize);
+  // Overflow-safe element count: forged shapes must not wrap size_t and
+  // under-allocate (heap overflow on the subsequent read).
+  size_t n = 1;
+  for (int64_t d : arr.dims) {
+    if (d != 0 && n > (size_t{1} << 40) / static_cast<size_t>(d))
+      Fatal(path + ": implausible element count");
+    n *= static_cast<size_t>(d);
+  }
+  arr.data.resize(n * arr.dtype->itemsize);
   f.read(arr.data.data(), static_cast<std::streamsize>(arr.data.size()));
   if (!f) Fatal(path + ": truncated data");
   return arr;
@@ -602,6 +627,11 @@ int main(int argc, char** argv) {
     return Run(argc, argv);
   } catch (const FatalError& e) {
     std::fprintf(stderr, "pjrt_runner: %s\n", e.msg.c_str());
+    return 1;
+  } catch (const std::exception& e) {
+    // Backstop: NO hostile input may reach std::terminate (SIGABRT). A
+    // malformed file must always be a clean diagnostic + exit 1.
+    std::fprintf(stderr, "pjrt_runner: error: %s\n", e.what());
     return 1;
   }
 }

@@ -130,11 +130,15 @@ def test_native_npy_reader_rejects_hostile_bytes(
     bad.write_bytes(bytes(raw))
     r = subprocess.run(
         [str(runner), "--npy-roundtrip", str(bad), str(tmp / "out.npy")],
-        capture_output=True, text=True, timeout=30,
+        # binary capture: hostile header bytes echo into the diagnostic,
+        # and text=True would make the HARNESS die on a utf-8 decode
+        capture_output=True, timeout=30,
     )
     # Either the mutation kept it valid (rc 0) or it failed CLEANLY:
     # returncode 1 with a message, not a signal (negative returncode).
-    assert r.returncode in (0, 1), (r.returncode, r.stderr)
+    assert r.returncode in (0, 1), (
+        r.returncode, r.stderr.decode("utf-8", "replace"),
+    )
 
 
 @settings(max_examples=60, deadline=None)

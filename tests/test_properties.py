@@ -166,3 +166,40 @@ def _cached_tp():
     from iris_tts_tpu.text.frontend import create_text_processor
 
     return create_text_processor()
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.data())
+def test_wav_readers_reject_hostile_bytes(tmp_path_factory, data):
+    """Truncations/mutations of a valid WAV must yield a clean Python
+    exception (or a successful parse) from BOTH decoders — the native C++
+    codec (in-process via ctypes: a memory bug here would crash the test
+    process) and the pure-Python fallback. Never a crash or a hang."""
+    from iris_tts_tpu.data.audio_io import read_wav, write_wav
+    from iris_tts_tpu.data import native as native_mod
+
+    tmp = tmp_path_factory.mktemp("wavfuzz")
+    base = tmp / "base.wav"
+    write_wav(base, np.linspace(-1, 1, 256).astype(np.float32), 8000)
+    raw = bytearray(base.read_bytes())
+    mode = data.draw(st.sampled_from(["truncate", "mutate", "garbage"]))
+    if mode == "truncate":
+        raw = raw[: data.draw(st.integers(0, len(raw) - 1))]
+    elif mode == "mutate":
+        i = data.draw(st.integers(0, min(60, len(raw) - 1)))
+        raw[i] = data.draw(st.integers(0, 255))
+    else:
+        raw = bytearray(
+            data.draw(st.lists(st.integers(0, 255), max_size=64))
+        )
+    bad = tmp / "bad.wav"
+    bad.write_bytes(bytes(raw))
+
+    for reader in (read_wav, native_mod.read_wav_mono):
+        try:
+            out = reader(bad)
+        except (ValueError, RuntimeError, EOFError):
+            continue  # clean rejection
+        audio = out[0]
+        assert np.asarray(audio).dtype == np.float32
+        assert np.isfinite(np.asarray(audio)).all()

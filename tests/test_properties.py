@@ -203,3 +203,54 @@ def test_wav_readers_reject_hostile_bytes(tmp_path_factory, data):
         audio = out[0]
         assert np.asarray(audio).dtype == np.float32
         assert np.isfinite(np.asarray(audio)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_textgrid_parser_total_on_hostile_text(tmp_path_factory, data):
+    """The dependency-free TextGrid parser: mutations/truncations of a
+    valid file (and pure garbage) parse to a well-formed tier list or
+    raise a clean ValueError — never an unhandled IndexError/KeyError or
+    a hang (MFA output is external input to the training pipeline)."""
+    from iris_tts_tpu.data.textgrid import parse_textgrid
+
+    valid = '''File type = "ooTextFile"
+Object class = "TextGrid"
+xmin = 0
+xmax = 0.3
+tiers? <exists>
+size = 1
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 0.3
+        intervals: size = 2
+        intervals [1]:
+            xmin = 0
+            xmax = 0.1
+            text = "HH"
+        intervals [2]:
+            xmin = 0.1
+            xmax = 0.3
+            text = "AH"
+'''
+    mode = data.draw(st.sampled_from(["truncate", "mutate", "garbage"]))
+    if mode == "truncate":
+        text = valid[: data.draw(st.integers(0, len(valid) - 1))]
+    elif mode == "mutate":
+        i = data.draw(st.integers(0, len(valid) - 1))
+        ch = data.draw(st.characters(min_codepoint=32, max_codepoint=0x24F))
+        text = valid[:i] + ch + valid[i + 1:]
+    else:
+        text = data.draw(st.text(max_size=200))
+    try:
+        tiers = parse_textgrid(text)
+    except ValueError:
+        return  # clean rejection
+    for tier in tiers:
+        assert isinstance(tier.name, str)
+        for iv in tier.intervals:
+            assert isinstance(iv.text, str)
+            assert np.isfinite(iv.xmin) and np.isfinite(iv.xmax)

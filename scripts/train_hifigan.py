@@ -123,7 +123,10 @@ def main() -> None:
         "--remat", action="store_true",
         help="rematerialize MRF resblock activations in the generator's "
         "backward pass (jax.checkpoint): resblocks run at the upsampled "
-        "audio rate and dominate GAN memory",
+        "audio rate and dominate GAN memory. (The discriminators are NOT "
+        "rematerialized: every intermediate feature map is a RETURNED "
+        "output — feature matching — so checkpointing would store them "
+        "anyway and save nothing.)",
     )
     parser.add_argument(
         "--ema_decay", type=float, default=0.0,

@@ -203,25 +203,50 @@ def _to_jsonable(obj: Any) -> Any:
     return obj
 
 
-def _from_jsonable(cls: type, data: Any) -> Any:
+def _from_jsonable(cls: type, data: Any, path: str = "") -> Any:
     if dataclasses.is_dataclass(cls):
+        if not isinstance(data, dict):
+            raise ValueError(
+                f"config{path or ' root'}: expected an object for "
+                f"{cls.__name__}, got {type(data).__name__}"
+            )
+        names = {f.name for f in dataclasses.fields(cls)}
+        # A typo'd key silently training the DEFAULT architecture is the
+        # reference's config-drift bug class (SURVEY §2.6) — reject it.
+        unknown = set(data) - names
+        if unknown:
+            raise ValueError(
+                f"config{path or ' root'}: unknown field(s) "
+                f"{sorted(unknown)} for {cls.__name__} "
+                f"(valid: {sorted(names)})"
+            )
         kwargs = {}
         for f in dataclasses.fields(cls):
             if f.name not in data:
                 continue
-            kwargs[f.name] = _coerce_field(f.type, data[f.name])
+            kwargs[f.name] = _coerce_field(
+                f.type, data[f.name], f"{path}.{f.name}"
+            )
         return cls(**kwargs)
     return data
 
 
-def _coerce_field(ftype: Any, value: Any) -> Any:
+def _coerce_field(ftype: Any, value: Any, path: str = "") -> Any:
     # Resolve string annotations from `from __future__ import annotations`.
     if isinstance(ftype, str):
         ftype = _TYPE_REGISTRY.get(ftype, ftype)
     if isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
-        return _from_jsonable(ftype, value)
+        return _from_jsonable(ftype, value, path)
     if isinstance(value, list):
         return tuple(tuple(v) if isinstance(v, list) else v for v in value)
+    # Scalar type check: a string where an int/float belongs would only
+    # blow up deep inside tracing, far from the config that caused it.
+    if ftype in (int, "int") and not isinstance(value, int):
+        raise ValueError(f"config{path}: expected int, got {value!r}")
+    if ftype in (float, "float") and not isinstance(value, (int, float)):
+        raise ValueError(f"config{path}: expected number, got {value!r}")
+    if ftype in (bool, "bool") and not isinstance(value, bool):
+        raise ValueError(f"config{path}: expected bool, got {value!r}")
     return value
 
 

@@ -62,3 +62,21 @@ def test_configs_frozen():
     except dataclasses.FrozenInstanceError:
         raised = True
     assert raised
+
+
+def test_config_loader_rejects_typos_and_wrong_types():
+    """A typo'd field silently training the DEFAULT architecture is the
+    reference's config-drift bug class (SURVEY §2.6) — the loader must
+    reject unknown fields/sections and mistyped scalars with the path."""
+    import pytest
+
+    from iris_tts_tpu.config import config_from_json
+
+    with pytest.raises(ValueError, match="unknown field.*n_mel"):
+        config_from_json('{"vae": {"n_mel": 40}}')  # typo of n_mels
+    with pytest.raises(ValueError, match="unknown field.*trian"):
+        config_from_json('{"trian": {}}')  # typo of train
+    with pytest.raises(ValueError, match="expected int"):
+        config_from_json('{"encoder": {"vocab_size": "72"}}')
+    with pytest.raises(ValueError, match="expected an object"):
+        config_from_json("[]")

@@ -225,3 +225,15 @@ def test_train_encoder_cli_all_training_features(small_cfg_file, tmp_path):
     losses = [float(r.split(",")[2]) for r in rows[1:]
               if r.split(",")[1] == "duration_loss"]
     assert losses and all(math.isfinite(v) for v in losses), rows[:3]
+
+
+def test_mem_analysis_cli_json():
+    """scripts/mem_analysis.py: compiler memory analysis emits one JSON row
+    per remat variant with positive temp bytes."""
+    r = _run(["scripts/mem_analysis.py", "--stage", "vae",
+              "--batch_size", "2", "--frames", "64", "--phonemes", "8"],
+             timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(ln) for ln in r.stdout.strip().splitlines()]
+    assert {row["remat"] for row in rows} == {False, True}
+    assert all(row["temp_mib"] > 0 for row in rows)

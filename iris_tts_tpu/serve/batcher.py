@@ -49,6 +49,12 @@ class ServerOverloadedError(RuntimeError):
     request's wait) without limit."""
 
 
+class ServerStoppedError(RuntimeError):
+    """Raised for requests that hit a stopping/stopped batcher — a
+    DRAINING replica, not a fault. The server maps this to a retryable
+    503 (a substring match on the message would be fragile)."""
+
+
 def _fail(fut: "Future", exc: BaseException) -> None:
     """set_exception tolerant of already-resolved futures (shutdown races)."""
     try:
@@ -156,7 +162,7 @@ class DynamicBatcher:
         ``max_chunks_per_request``).
         """
         if self._stopping.is_set():
-            raise RuntimeError("batcher is stopped")
+            raise ServerStoppedError("batcher is stopped")
         temperature = float(temperature)
         if seed is not None:
             seed = int(seed)
@@ -175,7 +181,7 @@ class DynamicBatcher:
             self._queue.put(item)
         if self._stopping.is_set():
             # stop() may already have drained the queue past our put.
-            _fail(fut, RuntimeError("server shutdown"))
+            _fail(fut, ServerStoppedError("server shutdown"))
         return fut
 
     def synthesize(self, text: str, timeout: Optional[float] = 60.0,
@@ -206,8 +212,12 @@ class DynamicBatcher:
         timeout."""
         # Every reachable fused (phoneme, frame) bucket pair — a probe
         # sentence would warm only its own pair and leave the first long
-        # request paying a compile.
-        self._pipe.warmup_fused(pcm16=self._pcm16)
+        # request paying a compile. AOT pipelines pre-compile differently
+        # (AotPipeline.warmup backend-compiles the exported executables).
+        if hasattr(self._pipe, "warmup_fused"):
+            self._pipe.warmup_fused(pcm16=self._pcm16)
+        elif hasattr(self._pipe, "warmup"):
+            self._pipe.warmup()
         for b in self._batch_buckets:
             self._pipe.synthesize(
                 ["warm up the jit cache."] * b, fused=False, seed=0,
@@ -251,7 +261,7 @@ class DynamicBatcher:
             except queue.Empty:
                 break
             if item is not None:
-                _fail(item.future, RuntimeError("server shutdown"))
+                _fail(item.future, ServerStoppedError("server shutdown"))
 
     def __enter__(self) -> "DynamicBatcher":
         return self.start()
@@ -356,7 +366,8 @@ class DynamicBatcher:
                     fused=False, pcm16=self._pcm16,
                 )[0]
             self.n_batches += 1
-            self.batch_size_hist[1] = self.batch_size_hist.get(1, 0) + 1
+            with self._lat_lock:
+                self.batch_size_hist[1] = self.batch_size_hist.get(1, 0) + 1
             self.n_requests += 1
             with self._lat_lock:
                 self._latencies.append(time.monotonic() - it.enqueued_at)
@@ -400,9 +411,10 @@ class DynamicBatcher:
             padded = self._pad_to_bucket(part)
             res = run(padded)
             self.n_batches += 1
-            self.batch_size_hist[len(padded)] = (
-                self.batch_size_hist.get(len(padded), 0) + 1
-            )
+            with self._lat_lock:
+                self.batch_size_hist[len(padded)] = (
+                    self.batch_size_hist.get(len(padded), 0) + 1
+                )
             if not split:
                 outs.extend(res[: len(part)])
                 continue
@@ -437,6 +449,9 @@ class DynamicBatcher:
         with self._lat_lock:
             lats = sorted(self._latencies)
             ttfas = sorted(self._ttfas)
+            # under the lock: the device thread inserts new keys mid-run
+            # and dict iteration would raise on a concurrent resize
+            hist = dict(sorted(self.batch_size_hist.items()))
 
         def _pct_of(seq, p):
             return (
@@ -454,7 +469,7 @@ class DynamicBatcher:
             "mean_batch_size": (
                 self.n_requests / self.n_batches if self.n_batches else 0.0
             ),
-            "batch_size_hist": dict(sorted(self.batch_size_hist.items())),
+            "batch_size_hist": hist,
             "latency_ms": {"p50": pct(0.50), "p95": pct(0.95),
                            "max": pct(1.0)},
             # Streaming time-to-first-audio (first chunk on the wire).

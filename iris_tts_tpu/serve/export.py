@@ -203,6 +203,46 @@ def export_pipeline(
     return path
 
 
+def _load_artifact(path, text_processor=None):
+    """Shared artifact loader for the two drivers: manifest (format
+    checked), vocab, text processor, and deserialized per-(B, P)-bucket
+    executables. One copy so the format contract cannot drift between
+    ExportedSynthesizer and AotPipeline."""
+    from jax import export as jax_export
+
+    from iris_tts_tpu.text.frontend import create_text_processor
+    from iris_tts_tpu.text.phonemes import PhonemeVocab
+
+    path = Path(path)
+    manifest = json.loads((path / "manifest.json").read_text())
+    _check_format_version(manifest, path)
+    vocab = PhonemeVocab.load(path / "vocab.json")
+    tp = text_processor or create_text_processor()
+    fns = {}
+    for e in manifest["entries"]:
+        exp = jax_export.deserialize((path / e["file"]).read_bytes())
+        fns[(e["batch"], e["phoneme_bucket"])] = (exp, e)
+    return path, manifest, vocab, tp, fns
+
+
+def _pick_bucket(fns, n_rows: int, max_len: int):
+    """Smallest exported (B, P) bucket covering the request (shared by
+    both artifact drivers)."""
+    fits = sorted(
+        (p, b) for (b, p) in fns if p >= max_len and b >= n_rows
+    )
+    if not fits:
+        raise ValueError(
+            f"request ({n_rows} rows, {max_len} phonemes) exceeds every "
+            f"exported bucket {sorted(fns)}"
+        )
+    p_bucket = fits[0][0]
+    b_bucket = min(
+        bb for (bb, pp) in fns if pp == p_bucket and bb >= n_rows
+    )
+    return b_bucket, p_bucket
+
+
 class ExportedSynthesizer:
     """Host-side driver for an exported artifact directory.
 
@@ -213,42 +253,22 @@ class ExportedSynthesizer:
     """
 
     def __init__(self, path: str | Path, text_processor=None):
-        from jax import export as jax_export
-
-        from iris_tts_tpu.text.frontend import create_text_processor
-        from iris_tts_tpu.text.phonemes import PhonemeVocab
-
-        path = Path(path)
-        self.manifest = json.loads((path / "manifest.json").read_text())
-        _check_format_version(self.manifest, path)
-        self.vocab = PhonemeVocab.load(path / "vocab.json")
-        self.text_processor = text_processor or create_text_processor()
-        self._fns: Dict[Tuple[int, int], Tuple] = {}
-        for e in self.manifest["entries"]:
-            exp = jax_export.deserialize(
-                (path / e["file"]).read_bytes()
-            )
-            self._fns[(e["batch"], e["phoneme_bucket"])] = (exp, e)
+        (_, self.manifest, self.vocab, self.text_processor,
+         self._fns) = _load_artifact(path, text_processor)
 
     def synthesize(
         self, text: str, seed: int = 0, temperature: float = 1.0
     ) -> np.ndarray:
         ids = self.text_processor.text_to_ids(text, self.vocab)
         n = len(ids)
-        candidates = sorted(
-            (p, b) for (b, p) in self._fns if p >= n and b >= 1
-        )
-        if not candidates:
-            raise ValueError(
-                f"{n} phonemes exceeds every exported bucket "
-                f"{sorted(set(p for _, p in self._fns))}"
-            )
-        p_bucket = candidates[0][0]
-        b = min(bb for (bb, pp) in self._fns if pp == p_bucket)
+        b, p_bucket = _pick_bucket(self._fns, 1, n)
         exp, entry = self._fns[(b, p_bucket)]
-        ids_arr = np.zeros((b, p_bucket), np.int32)
+        # Same unused-row convention as AotPipeline: pad_id / length 1
+        # (the conventions had drifted — zeros vs pad — before the shared
+        # loader unified them; both rows are trimmed away regardless).
+        ids_arr = np.full((b, p_bucket), self.vocab.pad_id, np.int32)
         ids_arr[0, :n] = ids
-        lengths = np.zeros((b,), np.int32)
+        lengths = np.ones((b,), np.int32)
         lengths[0] = n
         audio, _mel, n_frames, _deficit = exp.call(
             jnp.asarray(ids_arr), jnp.asarray(lengths),
@@ -279,14 +299,8 @@ class AotPipeline:
 
         from jax import export as jax_export
 
-        from iris_tts_tpu.text.frontend import create_text_processor
-        from iris_tts_tpu.text.phonemes import PhonemeVocab
-
-        path = Path(path)
-        self.manifest = json.loads((path / "manifest.json").read_text())
-        _check_format_version(self.manifest, path)
-        self.vocab = PhonemeVocab.load(path / "vocab.json")
-        self.text_processor = text_processor or create_text_processor()
+        (path, self.manifest, self.vocab, self.text_processor,
+         self._fns) = _load_artifact(path, text_processor)
         self.hop = int(self.manifest["samples_per_frame"])
         # Duck-typed config: the serving stack reads only the sample rate.
         self.config = SimpleNamespace(
@@ -295,10 +309,6 @@ class AotPipeline:
             ),
             hifigan=SimpleNamespace(total_upsample=self.hop),
         )
-        self._fns: Dict[Tuple[int, int], Tuple] = {}
-        for e in self.manifest["entries"]:
-            exp = jax_export.deserialize((path / e["file"]).read_bytes())
-            self._fns[(e["batch"], e["phoneme_bucket"])] = (exp, e)
         self._vocwin = None
         vw = self.manifest.get("vocode_window")
         if vw:
@@ -334,21 +344,7 @@ class AotPipeline:
 
     def _pick(self, n_rows: int, max_len: int) -> Tuple[int, int]:
         """Smallest exported (B, P) bucket covering the request."""
-        fits = sorted(
-            (p, b) for (b, p) in self._fns
-            if p >= max_len and b >= n_rows
-        )
-        if not fits:
-            raise ValueError(
-                f"request ({n_rows} rows, {max_len} phonemes) exceeds every "
-                f"exported bucket {sorted(self._fns)}"
-            )
-        p_bucket = fits[0][0]
-        b_bucket = min(
-            bb for (bb, pp) in self._fns
-            if pp == p_bucket and bb >= n_rows
-        )
-        return b_bucket, p_bucket
+        return _pick_bucket(self._fns, n_rows, max_len)
 
     def _warm_one(self, key) -> None:
         if key == "vocwin":

@@ -23,7 +23,11 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
-from iris_tts_tpu.serve.batcher import DynamicBatcher, ServerOverloadedError
+from iris_tts_tpu.serve.batcher import (
+    DynamicBatcher,
+    ServerOverloadedError,
+    ServerStoppedError,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -61,20 +65,39 @@ class _Handler(BaseHTTPRequestHandler):
         logger.debug("%s - %s", self.address_string(), fmt % args)
 
     def _read_json_body(self):
-        """Parse the request body; returns dict or None (response sent)."""
+        """Parse the request body; returns a dict or None (response sent).
+
+        Hostile framing is handled without trusting the client: a negative
+        Content-Length would make ``rfile.read`` block until EOF (one
+        leaked thread per request — remote DoS), an oversize/garbage body
+        cannot be drained safely, so those error paths CLOSE the
+        connection rather than attempt HTTP/1.1 keep-alive resync.
+        """
         try:
             n = int(self.headers.get("Content-Length", "0"))
         except ValueError:
-            self._json(400, {"error": "bad Content-Length"})
-            return None
-        if n > _MAX_BODY:
-            self._json(413, {"error": "request too large"})
+            n = -1
+        if n < 0 or n > _MAX_BODY:
+            # The body was not consumed; the next keep-alive request would
+            # parse leftover bytes as a request line.
+            self.close_connection = True
+            if n < 0:
+                self._json(400, {"error": "bad Content-Length"})
+            else:
+                self._json(413, {"error": "request too large"})
             return None
         try:
-            return json.loads(self.rfile.read(n) or b"{}")
-        except (json.JSONDecodeError, OSError):
+            req = json.loads(self.rfile.read(n) or b"{}")
+        except (json.JSONDecodeError, OSError, UnicodeDecodeError):
             self._json(400, {"error": "invalid JSON"})
             return None
+        if not isinstance(req, dict):
+            # 'null' would read as None (indistinguishable from
+            # response-already-sent) and a list/str would AttributeError
+            # on req.get() deep in a handler.
+            self._json(400, {"error": "body must be a JSON object"})
+            return None
+        return req
 
     def _overloaded(self, e: Exception) -> None:
         """503 + Retry-After: queue-depth backpressure (batcher.max_queue)."""
@@ -147,9 +170,11 @@ class _Handler(BaseHTTPRequestHandler):
         except ServerOverloadedError as e:  # backpressure → retryable 503
             self._overloaded(e)
             return
+        except ServerStoppedError as e:  # draining replica → retryable
+            self._json(503, {"error": str(e)})
+            return
         except Exception as e:  # noqa: BLE001 — server-side fault
-            self._json(503 if "stopped" in str(e) else 500,
-                       {"error": str(e)})
+            self._json(500, {"error": str(e)})
             return
 
         self.send_response(200)
@@ -224,10 +249,12 @@ class _Handler(BaseHTTPRequestHandler):
         except ServerOverloadedError as e:  # backpressure → retryable 503
             self._overloaded(e)
             return
+        except ServerStoppedError as e:  # draining replica → retryable
+            self._json(503, {"error": str(e)})
+            return
         except Exception as e:  # noqa: BLE001 — server fault
             logger.exception("synthesize failed")
-            self._json(503 if "stopped" in str(e) else 500,
-                       {"error": str(e)})
+            self._json(500, {"error": str(e)})
             return
         wav = _wav_bytes(audio, self.sample_rate)
         self.send_response(200)
@@ -279,7 +306,11 @@ class TTSServer:
         return self
 
     def stop(self) -> None:
-        self.httpd.shutdown()
+        if self._serve_thread is not None:
+            # shutdown() blocks on an event only serve_forever() ever
+            # sets — calling it on a never-started server deadlocks the
+            # caller's cleanup path.
+            self.httpd.shutdown()
         self.httpd.server_close()
         if self._serve_thread is not None:
             self._serve_thread.join(timeout=10)

@@ -456,3 +456,103 @@ def test_stream_completes_under_queue_pressure(pipeline):
         assert competitor_codes and set(competitor_codes) <= {200, 503}
     finally:
         srv.stop()
+
+
+def test_http_hostile_request_framing(server):
+    """Hostile HTTP framing/body shapes must get a fast clean error — not a
+    hung handler thread, an unanswered connection, or a 500:
+    negative Content-Length (would block rfile.read(-1) until EOF — one
+    leaked thread per request), non-object JSON bodies ('null' previously
+    produced NO response; a string AttributeError'd mid-handler), and
+    oversize bodies (keep-alive desync if unconsumed)."""
+    import socket
+
+    host, port = server.address[:2]
+
+    # Negative Content-Length: must answer 400 promptly, not hang.
+    raw = socket.create_connection((host, port), timeout=20)
+    try:
+        raw.sendall(
+            b"POST /synthesize HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\nContent-Length: -1\r\n\r\n"
+        )
+        head = raw.recv(64)
+        assert b"400" in head.split(b"\r\n")[0], head
+    finally:
+        raw.close()
+
+    # Non-dict JSON bodies: clean 400 each, connection still answering.
+    for body in (b"null", b'"hello"', b"[1, 2]"):
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        try:
+            conn.request("POST", "/synthesize", body=body,
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            resp.read()
+            assert resp.status == 400, (body, resp.status)
+        finally:
+            conn.close()
+
+    # Same contract on the streaming endpoint (req.get ran outside any
+    # try before the fix).
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    try:
+        conn.request("POST", "/synthesize_stream", body=b"[1]",
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 400
+    finally:
+        conn.close()
+
+    # Oversize body: 413 and the server keeps serving new connections.
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    try:
+        conn.request("POST", "/synthesize", body=b"x" * (2 << 20),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 413
+    finally:
+        conn.close()
+    status, _, _ = _request(server, "GET", "/healthz")
+    assert status == 200
+
+
+def test_stats_concurrent_with_traffic(server):
+    """GET /stats while the device thread inserts new histogram keys must
+    never error (dict-changed-size race)."""
+    import threading
+
+    errs = []
+
+    def poll():
+        for _ in range(20):
+            st, _, body = _request(server, "GET", "/stats")
+            if st != 200:
+                errs.append((st, body))
+
+    t = threading.Thread(target=poll)
+    t.start()
+    for i in range(3):
+        _request(server, "POST", "/synthesize", {"text": f"stats probe {i}"})
+    t.join(timeout=120)
+    assert not errs, errs
+
+
+def test_server_stop_before_start_does_not_hang(pipeline):
+    """TTSServer.stop() on a never-started server returns promptly (the
+    stdlib shutdown() would otherwise block on an event only
+    serve_forever sets)."""
+    import threading
+
+    srv = TTSServer(pipeline, host="127.0.0.1", port=0)
+    done = threading.Event()
+
+    def stop():
+        srv.stop()
+        done.set()
+
+    t = threading.Thread(target=stop, daemon=True)
+    t.start()
+    assert done.wait(timeout=30), "stop() deadlocked without start()"

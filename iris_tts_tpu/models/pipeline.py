@@ -75,6 +75,11 @@ def mel_time_major(mel, n_mels: int):
     reference layout ``[..., n_mels, T]`` (data.py:121 emits channel-major).
     Raises when neither of the two trailing axes is ``n_mels``-sized.
 
+    A SQUARE mel (``T == n_mels``) is ambiguous by shape alone and is
+    taken as already time-major — callers holding a channel-major mel of
+    exactly ``n_mels`` frames must transpose before calling (there is no
+    signal in the data to auto-detect it).
+
     Works on numpy AND jax arrays without converting between them (the
     ``.swapaxes`` method dispatches per type) — a device-resident mel must
     not bounce through the host just to fix its layout."""
@@ -385,6 +390,12 @@ class TTSPipeline:
                 "seed": self.seed,
                 "upsample": self.upsample,
                 "mrf_impl": self.mrf_impl,
+                # Tuned serving knobs: dropping these on reload would
+                # silently revert an operator's overflow-budget/bucket
+                # tuning (and change the jit-cache key set).
+                "fused_frames_per_phoneme": self.fused_frames_per_phoneme,
+                "phoneme_buckets": list(self.phoneme_buckets),
+                "frame_buckets": list(self.frame_buckets),
             })
         )
 
@@ -396,15 +407,13 @@ class TTSPipeline:
         dtype: Any = jnp.float32,
     ) -> "TTSPipeline":
         """Load a pipeline exported with :meth:`save`."""
-        import json as _json
-
         from iris_tts_tpu.config import load_config
         from iris_tts_tpu.train.checkpoint import load_params
 
         path = Path(path)
         config = load_config(path / "config.json")
         vocab = PhonemeVocab.load(path / "vocab.json")
-        meta = _json.loads((path / "meta.json").read_text())
+        meta = json.loads((path / "meta.json").read_text())
         pipe = cls.initialize(
             config,
             vocab=vocab,
@@ -415,6 +424,13 @@ class TTSPipeline:
         )
         pipe.upsample = meta.get("upsample", "hard")
         pipe.mrf_impl = meta.get("mrf_impl", "xla")
+        pipe.fused_frames_per_phoneme = int(meta.get(
+            "fused_frames_per_phoneme", pipe.fused_frames_per_phoneme
+        ))
+        if "phoneme_buckets" in meta:
+            pipe.phoneme_buckets = tuple(meta["phoneme_buckets"])
+        if "frame_buckets" in meta:
+            pipe.frame_buckets = tuple(meta["frame_buckets"])
         pipe.params = load_params(path / "params", template=pipe.params)
         return pipe
 
@@ -525,6 +541,14 @@ class TTSPipeline:
         ``fused_frames_per_phoneme`` is observable, not silent.
         """
         enc, frames, _ = self._stage_a_fn(params, ids, lengths)
+        # A single phoneme can never occupy more than the whole frame
+        # budget — clipping here also keeps the apportionment product
+        # frames_i·capped ≤ total_frames² (≈16.8M at the largest bucket),
+        # exact in int32: an untrained/corrupted duration head predicting
+        # ~2^31/total_frames frames for one phoneme would otherwise wrap
+        # the int32 multiply below into negative durations (garbage audio,
+        # no error).
+        frames = jnp.minimum(frames, total_frames)
         total = jnp.sum(frames, axis=1, keepdims=True)  # [B, 1]
         capped = jnp.minimum(total, total_frames)
         # Largest-remainder apportionment: floor-divide, then hand the
@@ -536,7 +560,7 @@ class TTSPipeline:
         # necessarily have remainder > 0, which implies frames > 0, so
         # padding rows are never bumped.
         denom = jnp.maximum(total, 1)
-        scaled = (frames * capped) // denom
+        scaled = (frames * capped) // denom  # exact: see the clip above
         rem = (frames * capped) % denom
         shortfall = capped[:, 0] - jnp.sum(scaled, axis=1)  # [B]
         ranks = jnp.argsort(jnp.argsort(-rem, axis=1), axis=1)
@@ -673,6 +697,8 @@ class TTSPipeline:
 
     def _encode_texts(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Texts → bucketed, padded [B, P] ids + [B] lengths (host)."""
+        if not texts:
+            raise ValueError("synthesize needs at least one utterance")
         id_lists = [self._text_to_ids_cached(t) for t in texts]
         lengths = np.array([len(i) for i in id_lists], np.int32)
         p_bucket = pick_bucket(int(lengths.max()), self.phoneme_buckets)
@@ -708,6 +734,14 @@ class TTSPipeline:
 
         cfg = cfg or MeshConfig()
         mesh = mesh if mesh is not None else build_mesh(cfg)
+        missing = {cfg.data_axis, cfg.model_axis} - set(mesh.axis_names)
+        if missing:
+            # A foreign mesh would otherwise KeyError deep inside sharding
+            # or (worse) at the first synthesize call.
+            raise ValueError(
+                f"mesh axes {mesh.axis_names} lack {sorted(missing)}; pass "
+                f"a MeshConfig whose data_axis/model_axis match the mesh"
+            )
         self._mesh, self._mesh_cfg = mesh, cfg
         if len(mesh.devices.flat) > 1:
             # Degrades to pure replication when model_parallel == 1.
@@ -741,7 +775,7 @@ class TTSPipeline:
         """Host frontend + stage A + frame-bucket choice (shared by the
         synthesize/synthesize_mel paths)."""
         ids_np, lengths = self._encode_texts(texts)
-        ids_dev, lengths_dev, n_rows = self._device_batch(ids_np, lengths)
+        ids_dev, lengths_dev, _ = self._device_batch(ids_np, lengths)
         enc, frames, total_arr = self._stage_a(
             self.params, ids_dev, lengths_dev
         )
@@ -757,7 +791,7 @@ class TTSPipeline:
                 "the audio tail will be truncated — raise "
                 "pipeline.frame_buckets or split the text", total, t_bucket,
             )
-        return enc, frames, t_bucket, n_rows
+        return enc, frames, t_bucket
 
     def _fused_frame_budget(self, lengths: np.ndarray) -> int:
         """Host-side frame-budget estimate for the fused path (static per
@@ -868,7 +902,7 @@ class TTSPipeline:
                 pcm16=pcm16,
             )
         else:
-            enc, frames, t_bucket, _ = self._run_stage_a(texts)
+            enc, frames, t_bucket = self._run_stage_a(texts)
             audio, mel, n_frames_arr = self._stage_b(
                 self.params, enc, frames, self._next_seed(seed),
                 total_frames=t_bucket, temperature=temperature,
@@ -920,19 +954,21 @@ class TTSPipeline:
         serving loop dispatch batch N+1 while batch N's audio is still in
         flight to the host (serve/batcher.py). ``synthesize(fused=False)``
         is dispatch+collect back to back."""
-        enc, frames, t_bucket, _ = self._run_stage_a(texts)
+        enc, frames, t_bucket = self._run_stage_a(texts)
         audio, _mel, n_frames_arr = self._stage_b(
             self.params, enc, frames, self._next_seed(seed),
             total_frames=t_bucket, temperature=temperature,
             use_postnet=self.use_postnet, upsample=self.upsample,
             mrf_impl=self.mrf_impl, pcm16=pcm16,
         )
-        return audio, n_frames_arr, len(texts)
+        # pcm16 travels IN the handle: a collect with a mismatched flag
+        # would reinterpret int16 PCM as float32 (full-scale noise).
+        return audio, n_frames_arr, len(texts), pcm16
 
-    def _batched_collect(self, disp, pcm16: bool = False):
+    def _batched_collect(self, disp):
         """Fetch + trim a :meth:`_batched_dispatch` handle → list of 1-D
         waveforms (row order preserved)."""
-        audio, n_frames_arr, n = disp
+        audio, n_frames_arr, n, pcm16 = disp
         audio_np, n_frames = jax.device_get((audio, n_frames_arr))
         hop = self.config.hifigan.total_upsample
         n_frames = np.asarray(n_frames).astype(np.int64)
@@ -950,7 +986,7 @@ class TTSPipeline:
         """Text → log-mel [T, n_mels] (acoustic model only)."""
         single = isinstance(text, str)
         texts = [text] if single else list(text)
-        enc, frames, t_bucket, _ = self._run_stage_a(texts)
+        enc, frames, t_bucket = self._run_stage_a(texts)
         mel, n_frames_arr = self._stage_b_mel(
             self.params, enc, frames, self._next_seed(seed),
             total_frames=t_bucket, temperature=temperature,

@@ -401,9 +401,7 @@ class DynamicBatcher:
         def flush(handle):
             if handle is not None:
                 outs.extend(
-                    self._pipe._batched_collect(
-                        handle[0], pcm16=self._pcm16
-                    )[: handle[1]]
+                    self._pipe._batched_collect(handle[0])[: handle[1]]
                 )
 
         for lo in range(0, len(flat), self._max_batch):

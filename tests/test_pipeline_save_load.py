@@ -46,3 +46,21 @@ def test_save_load_roundtrip(tmp_path):
     assert again.config == pipe.config
     assert again.vocab.phoneme_to_id == pipe.vocab.phoneme_to_id
     assert again.use_postnet == pipe.use_postnet
+
+
+def test_save_load_persists_tuned_serving_knobs(tmp_path):
+    """fused_frames_per_phoneme and the bucket ladders survive the save/load
+    round trip — reverting an operator's overflow-budget tuning on redeploy
+    would silently compress speech rate again."""
+    from tests.test_pipeline import _small_config
+    from iris_tts_tpu.models import TTSPipeline
+
+    pipe = TTSPipeline.initialize(_small_config(), seed=0)
+    pipe.phoneme_buckets = (16, 32)
+    pipe.frame_buckets = (32, 64)
+    pipe.fused_frames_per_phoneme = 21
+    pipe.save(tmp_path / "exp")
+    loaded = TTSPipeline.load(tmp_path / "exp")
+    assert loaded.fused_frames_per_phoneme == 21
+    assert loaded.phoneme_buckets == (16, 32)
+    assert loaded.frame_buckets == (32, 64)

@@ -505,16 +505,23 @@ def test_http_hostile_request_framing(server):
     finally:
         conn.close()
 
-    # Oversize body: 413 and the server keeps serving new connections.
+    # Oversize body: early 413 + connection close. The server rejects
+    # from the HEADER (it never reads the body), so the client may hit a
+    # broken pipe mid-send instead of reading the 413 — both are the
+    # correct early-rejection outcome.
     conn = http.client.HTTPConnection(host, port, timeout=60)
     try:
-        conn.request("POST", "/synthesize", body=b"x" * (2 << 20),
-                     headers={"Content-Type": "application/json"})
-        resp = conn.getresponse()
-        resp.read()
-        assert resp.status == 413
+        try:
+            conn.request("POST", "/synthesize", body=b"x" * (2 << 20),
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            resp.read()
+            assert resp.status == 413
+        except (BrokenPipeError, ConnectionResetError, http.client.HTTPException):
+            pass  # server closed while we were still sending: rejected early
     finally:
         conn.close()
+    # ...and the server keeps serving new connections.
     status, _, _ = _request(server, "GET", "/healthz")
     assert status == 200
 

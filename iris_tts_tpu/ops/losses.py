@@ -32,6 +32,12 @@ def duration_huber_loss(
     """
     if pred_log_durations.ndim == target_durations.ndim + 1:
         pred_log_durations = pred_log_durations[..., 0]
+    # All losses reduce in f32 regardless of the model's compute dtype:
+    # a bf16 sum over thousands of elements loses mass (701 ones sum to
+    # 700.0 — see pipeline.py's frame-count note), skewing both the
+    # logged metric and the 1/sum(mask) gradient scale.
+    pred_log_durations = pred_log_durations.astype(jnp.float32)
+    target_durations = target_durations.astype(jnp.float32)
     pred = jnp.exp(pred_log_durations) - 1.0
     diff = pred - target_durations
     abs_diff = jnp.abs(diff)
@@ -61,7 +67,7 @@ def masked_l1_loss(
         target/pred: [B, T, n_mels] (time-major layout).
         frame_mask: optional [B, T].
     """
-    diff = jnp.abs(target - pred)
+    diff = jnp.abs(target.astype(jnp.float32) - pred.astype(jnp.float32))
     if frame_mask is not None:
         m = frame_mask.astype(diff.dtype)[..., None]  # [B, T, 1]
         n_mels = jnp.asarray(diff.shape[-1], diff.dtype)
@@ -85,6 +91,8 @@ def kl_divergence(
         mean/logvar: [B, T', latent_dim].
         latent_mask: optional [B, T'].
     """
+    mean = mean.astype(jnp.float32)      # f32 reductions (see above)
+    logvar = logvar.astype(jnp.float32)
     kl = -0.5 * (1.0 + logvar - jnp.square(mean) - jnp.exp(logvar))
     if latent_mask is not None:
         m = latent_mask.astype(kl.dtype)[..., None]  # [B, T', 1]
@@ -121,25 +129,32 @@ def vae_loss(
 
 
 def lsgan_discriminator_loss(real_outputs, fake_outputs) -> jnp.ndarray:
-    """Least-squares GAN discriminator loss (HiFi-GAN paper, eq. 1)."""
+    """Least-squares GAN discriminator loss (HiFi-GAN paper, eq. 1).
+    Reduces in f32 even for bf16 discriminator logits (see above)."""
     loss = 0.0
     for dr, df in zip(real_outputs, fake_outputs):
+        dr = dr.astype(jnp.float32)
+        df = df.astype(jnp.float32)
         loss += jnp.mean(jnp.square(dr - 1.0)) + jnp.mean(jnp.square(df))
     return loss
 
 
 def lsgan_generator_loss(fake_outputs) -> jnp.ndarray:
-    """Least-squares GAN generator adversarial loss (HiFi-GAN paper, eq. 2)."""
+    """Least-squares GAN generator adversarial loss (HiFi-GAN paper, eq. 2).
+    Reduces in f32 even for bf16 discriminator logits (see above)."""
     loss = 0.0
     for df in fake_outputs:
-        loss += jnp.mean(jnp.square(df - 1.0))
+        loss += jnp.mean(jnp.square(df.astype(jnp.float32) - 1.0))
     return loss
 
 
 def feature_matching_loss(real_features, fake_features) -> jnp.ndarray:
-    """L1 feature-matching loss over all discriminator feature maps."""
+    """L1 feature-matching loss over all discriminator feature maps.
+    Reduces in f32 even for bf16 feature maps (see above)."""
     loss = 0.0
     for reals, fakes in zip(real_features, fake_features):
         for r, f in zip(reals, fakes):
-            loss += jnp.mean(jnp.abs(r - f))
+            loss += jnp.mean(jnp.abs(
+                r.astype(jnp.float32) - f.astype(jnp.float32)
+            ))
     return loss

@@ -171,11 +171,21 @@ class PipelineParallelSynthesizer:
         """Software-pipeline a sequence of text batches; yields one list of
         waveforms per input batch, in order. At most ``inflight`` batches
         are enqueued ahead of the collector, bounding device memory."""
+        if isinstance(batches, str):
+            # iterating a bare string would synthesize one utterance PER
+            # CHARACTER at full model cost
+            raise TypeError(
+                "synthesize_batches takes a sequence of BATCHES; for one "
+                "batch or one utterance use synthesize()"
+            )
         q = deque()
         for texts in batches:
             batch = [texts] if isinstance(texts, str) else list(texts)
-            q.append(self._dispatch(batch, seed, temperature, pcm16))
-            if len(q) > self.inflight:
+            if len(q) == self.inflight:
+                # collect BEFORE dispatching so at most `inflight` batches
+                # are ever live on the devices (the documented memory
+                # bound; append-then-collect held inflight+1)
                 yield self._collect(q.popleft(), pcm16)
+            q.append(self._dispatch(batch, seed, temperature, pcm16))
         while q:
             yield self._collect(q.popleft(), pcm16)

@@ -51,8 +51,10 @@ def tp_param_sharding(
 
 
 def batch_sharding_tree(batch: Any, mesh: Mesh, cfg: MeshConfig = MeshConfig()):
-    """Shard every array's leading (batch) dim over the data axis."""
-    sharding = NamedSharding(mesh, PartitionSpec(cfg.data_axis))
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    """Shard every array's leading (batch) dim over the data axis.
+
+    Alias of :func:`iris_tts_tpu.parallel.mesh.shard_batch` (kept for the
+    existing callers; one implementation so fixes cannot diverge)."""
+    from iris_tts_tpu.parallel.mesh import shard_batch
+
+    return shard_batch(batch, mesh, cfg)

@@ -37,11 +37,21 @@ class CheckpointManager:
     ):
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        self.keep_every_n = keep_every_n
+        # Long-term retention: saves marked as epoch-boundary keepers are
+        # PINNED by step number (orbax's keep_period is in raw step units,
+        # which drifts off epoch boundaries after a mid-epoch preemption
+        # resume — the every-N-EPOCHS policy must not depend on step
+        # arithmetic). The pinned set persists beside the checkpoints.
+        self._pinned_file = self.directory / "pinned_steps.json"
+        self._pinned = set()
+        if self._pinned_file.exists():
+            self._pinned = set(json.loads(self._pinned_file.read_text()))
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
-                keep_period=keep_every_n,
+                should_keep_fn=lambda step: step in self._pinned,
                 create=True,
             ),
         )
@@ -51,14 +61,28 @@ class CheckpointManager:
             data = json.loads(self._best_file.read_text())
             self.best_metric = data.get("best_metric", float("inf"))
         if config is not None:
-            (self.directory / "config.json").write_text(
-                config_to_json(config)
-            )
+            cfg_file = self.directory / "config.json"
+            new_text = config_to_json(config)
+            if cfg_file.exists():
+                # The config that TRAINED these checkpoints is the
+                # authoritative record — never clobber it on resume (the
+                # SURVEY §2.6 drift-bug class). Mismatches are surfaced,
+                # not silently overwritten.
+                if cfg_file.read_text() != new_text:
+                    logger.warning(
+                        "config differs from the one recorded beside the "
+                        "checkpoints (%s); keeping the ORIGINAL record — "
+                        "delete it explicitly if the change is intentional",
+                        cfg_file,
+                    )
+            else:
+                cfg_file.write_text(new_text)
 
     # -- save ----------------------------------------------------------------
 
     def save(self, step: int, state: Any, metrics: Optional[dict] = None,
-             val_metric: Optional[float] = None, wait: bool = False) -> bool:
+             val_metric: Optional[float] = None, wait: bool = False,
+             epoch: Optional[int] = None) -> bool:
         """Save at ``step``; track best-on-val separately (reference policy:
         train_encoder.py:281-296). Returns True if this is a new best.
 
@@ -68,7 +92,18 @@ class CheckpointManager:
         atomic — readers only ever see completed steps). Pass ``wait=True``
         when the process may exit right after (preemption, final save) or
         when another process must observe the checkpoint immediately.
+
+        ``epoch`` (1-based count of COMPLETED epochs) drives long-term
+        retention: saves at multiples of ``keep_every_n`` epochs are
+        pinned and survive ``max_to_keep`` eviction forever.
         """
+        if (epoch is not None and self.keep_every_n
+                and epoch % self.keep_every_n == 0):
+            self._pinned.add(int(step))
+            # persist BEFORE the save triggers eviction, and atomically
+            tmp = self._pinned_file.with_suffix(".tmp")
+            tmp.write_text(json.dumps(sorted(self._pinned)))
+            tmp.replace(self._pinned_file)
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(_to_savable(state)),
@@ -76,15 +111,19 @@ class CheckpointManager:
         )
         is_best = False
         if val_metric is not None and val_metric < self.best_metric:
-            self.best_metric = float(val_metric)
-            self._best_file.write_text(
-                json.dumps({"best_metric": self.best_metric, "step": step})
-            )
             best_dir = self.directory / "best"
             with ocp.StandardCheckpointer() as ckptr:
                 ckptr.save(
                     best_dir, _to_savable(state), force=True
                 )
+            # Record the new best AFTER its checkpoint commits: a crash
+            # in between would otherwise leave a phantom best metric that
+            # suppresses every future best save while best/ holds a stale
+            # (or no) state.
+            self.best_metric = float(val_metric)
+            self._best_file.write_text(
+                json.dumps({"best_metric": self.best_metric, "step": step})
+            )
             is_best = True
         if wait:
             self._mgr.wait_until_finished()

@@ -162,6 +162,7 @@ class TrainLoop:
                 )
                 if (
                     self.metrics
+                    and self.log_every_steps
                     and n_steps % self.log_every_steps == 0
                 ):
                     self.metrics.write(
@@ -215,7 +216,8 @@ class TrainLoop:
                     val_key, train_means.get(self.val_metric_key)
                 )
                 periodic = (
-                    (epoch + 1) % self.checkpoint_every == 0
+                    (self.checkpoint_every
+                     and (epoch + 1) % self.checkpoint_every == 0)
                     or epoch + 1 == self.num_epochs
                 )
                 new_best = (
@@ -224,7 +226,8 @@ class TrainLoop:
                 )
                 if periodic or new_best:
                     is_best = self.checkpoints.save(
-                        int(state.step), state, val_metric=val_metric
+                        int(state.step), state, val_metric=val_metric,
+                        epoch=epoch + 1,
                     )
                     if is_best:
                         logger.info(

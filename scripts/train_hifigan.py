@@ -271,8 +271,10 @@ def main() -> None:
         if (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
             # Async saves: the next epoch trains while both sides commit.
             gen_ckpt.save(int(gen_state.step), gen_state,
-                          val_metric=means.get("gen_mel_l1"))
-            disc_ckpt.save(int(disc_state.step), disc_state)
+                          val_metric=means.get("gen_mel_l1"),
+                          epoch=epoch + 1)
+            disc_ckpt.save(int(disc_state.step), disc_state,
+                           epoch=epoch + 1)
     # Settle in-flight commits before the process exits.
     gen_ckpt.wait_until_finished()
     disc_ckpt.wait_until_finished()

@@ -243,3 +243,46 @@ def test_async_save_settles_before_read(tmp_path):
         np.asarray(got2.params["w"]), np.asarray(state.params["w"])
     )
     fresh.close()
+
+
+def test_epoch_pinned_retention_survives_step_drift(tmp_path):
+    """keep_every_n is in EPOCHS: pinned epoch-boundary saves survive
+    max_to_keep eviction even when step numbers drift off steps_per_epoch
+    multiples (mid-epoch preemption resume) — orbax's keep_period is in
+    raw step units and silently broke this policy."""
+    from iris_tts_tpu.train import TrainState
+
+    key = jax.random.PRNGKey(0)
+    state = TrainState.create(
+        {"w": jax.random.normal(key, (2, 2))}, adam_clipped(1e-3), key
+    )
+    mgr = CheckpointManager(tmp_path / "ck", keep_every_n=2, max_to_keep=2)
+    # Drifted step numbers (not multiples of anything): epochs 1..6.
+    steps = [7, 13, 22, 31, 40, 49]
+    for epoch, step in enumerate(steps, start=1):
+        grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+        state = state.apply_gradients(grads)
+        mgr.save(step, state, epoch=epoch, wait=True)
+    kept = set(mgr.all_steps())
+    # Epoch multiples of 2 → steps 13, 31, 49 pinned forever; plus up to
+    # max_to_keep recent ones.
+    assert {13, 31, 49} <= kept, kept
+    mgr.close()
+    # Pins persist across manager instances.
+    fresh = CheckpointManager(tmp_path / "ck", keep_every_n=2, max_to_keep=2)
+    assert {13, 31, 49} <= set(fresh.all_steps())
+    fresh.close()
+
+
+def test_config_record_is_never_clobbered_on_resume(tmp_path):
+    """The config that trained the checkpoints is the authoritative record:
+    constructing a manager with a DIFFERENT config must not overwrite it."""
+    from iris_tts_tpu.config import IrisConfig, EncoderConfig
+
+    cfg1 = IrisConfig(encoder=EncoderConfig(vocab_size=41))
+    mgr = CheckpointManager(tmp_path / "ck", cfg1)
+    mgr.close()
+    cfg2 = IrisConfig(encoder=EncoderConfig(vocab_size=99))
+    mgr2 = CheckpointManager(tmp_path / "ck", cfg2)
+    assert mgr2.load_config().encoder.vocab_size == 41  # original preserved
+    mgr2.close()

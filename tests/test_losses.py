@@ -116,3 +116,41 @@ def test_gan_losses_basic():
     feats_r = [[jnp.ones((2, 4))], [jnp.zeros((2, 4))]]
     feats_f = [[jnp.zeros((2, 4))], [jnp.zeros((2, 4))]]
     assert float(Lo.feature_matching_loss(feats_r, feats_f)) == 1.0
+
+
+def test_losses_reduce_in_f32_for_bf16_inputs():
+    """bf16 model outputs must not reduce in bf16: a bf16 sum over
+    thousands of elements loses mass (701 ones sum to 700.0), skewing
+    metrics and the 1/sum(mask) gradient scale."""
+    import jax.numpy as jnp
+
+    from iris_tts_tpu.ops.losses import (
+        feature_matching_loss,
+        kl_divergence,
+        lsgan_discriminator_loss,
+        lsgan_generator_loss,
+        masked_l1_loss,
+    )
+
+    n = 4097  # past bf16's integer-exact range
+    mean = jnp.ones((1, n, 2), jnp.bfloat16) * 0.5
+    logvar = jnp.zeros((1, n, 2), jnp.bfloat16)
+    mask = jnp.ones((1, n), jnp.bfloat16)
+    kl = kl_divergence(mean, logvar, mask)
+    assert kl.dtype == jnp.float32
+    # 0.125 per element, summed over latent_dim=2 per masked position
+    # (denominator counts positions, reference convention) → 0.25
+    assert abs(float(kl) - 0.25) < 1e-5
+
+    t = jnp.ones((1, n, 4), jnp.bfloat16)
+    p = jnp.zeros((1, n, 4), jnp.bfloat16)
+    l1 = masked_l1_loss(t, p, jnp.ones((1, n), jnp.bfloat16))
+    assert l1.dtype == jnp.float32 and abs(float(l1) - 1.0) < 1e-3
+
+    logits = [jnp.full((2, n), 0.5, jnp.bfloat16)]
+    d = lsgan_discriminator_loss(logits, logits)
+    g = lsgan_generator_loss(logits)
+    assert d.dtype == jnp.float32 and abs(float(d) - 0.5) < 1e-5
+    assert g.dtype == jnp.float32 and abs(float(g) - 0.25) < 1e-5
+    fm = feature_matching_loss([[t]], [[p]])
+    assert fm.dtype == jnp.float32 and abs(float(fm) - 1.0) < 1e-3

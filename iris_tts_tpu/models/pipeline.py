@@ -860,6 +860,62 @@ class TTSPipeline:
                 jax.block_until_ready(out)
         return len(pairs) * len(batch_sizes)
 
+    def warmup_batched(
+        self,
+        batch_sizes: Sequence[int],
+        pcm16: bool = False,
+        temperature: float = 1.0,
+        max_frames_per_phoneme: int = 24,
+    ) -> int:
+        """Compile the two-stage batched executables before traffic.
+
+        Stage A is keyed by (batch, phoneme-bucket); stage B by (batch,
+        phoneme-bucket, frame-bucket) — the encoder output's phoneme dim
+        rides into stage B, so a short warmup probe sentence leaves every
+        other combination paying its first compile on a live request
+        (minutes on remote-compile backends). This drives the jitted
+        stages directly with synthetic ids at every combination whose
+        frame bucket is plausibly reachable: T ≤ P × ``max_frames_per_
+        phoneme`` (LJSpeech speech runs ~6-7 frames per phoneme; 24 is
+        far past any trained model's rate). A pathological prediction
+        outside the band still works — it just pays its compile then.
+
+        Returns the number of executables compiled. Cost: one compile
+        each (~0.4 s warm on a real chip; the first of the process pays
+        the backend session floor) — for the production ladders and
+        batch_sizes=(1,2,4,8) about 220 executables. The AOT serving
+        path (serve/export.py) avoids this entirely by pre-lowering.
+        """
+        n = 0
+        for b in batch_sizes:
+            stage_a_out = {}
+            for p_bucket in self.phoneme_buckets:
+                ids_np = np.full((b, p_bucket), self.vocab.pad_id, np.int32)
+                lengths_np = np.full((b,), p_bucket, np.int32)
+                ids_dev, lengths_dev, _ = self._device_batch(
+                    ids_np, lengths_np
+                )
+                enc, frames, _tot = self._stage_a(
+                    self.params, ids_dev, lengths_dev
+                )
+                stage_a_out[p_bucket] = (enc, frames)
+                n += 1
+            for p_bucket, (enc, frames) in stage_a_out.items():
+                for i, t_bucket in enumerate(self.frame_buckets):
+                    # The smallest frame bucket is always reachable (short
+                    # predictions clamp up to it), so never skip i == 0.
+                    if i and t_bucket > p_bucket * max_frames_per_phoneme:
+                        break
+                    out = self._stage_b(
+                        self.params, enc, frames, self._next_seed(0),
+                        total_frames=t_bucket, temperature=temperature,
+                        use_postnet=self.use_postnet, upsample=self.upsample,
+                        mrf_impl=self.mrf_impl, pcm16=pcm16,
+                    )
+                    jax.block_until_ready(out)
+                    n += 1
+        return n
+
     def synthesize(
         self,
         text: Union[str, Sequence[str]],

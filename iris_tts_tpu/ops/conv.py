@@ -55,12 +55,29 @@ def _use_native(impl: Optional[str]) -> bool:
     return (impl or _IMPL) == "native"
 
 
+def _precision(x) -> Optional[jax.lax.Precision]:
+    """Matmul/conv precision for operands of ``x``'s dtype.
+
+    f32 operands request HIGHEST: the TPU MXU natively multiplies in bf16,
+    and backend *default* precision may round f32 inputs to one bf16 pass
+    (~4e-3 relative error — observed to vary across PJRT backend
+    generations, which silently broke the ≤1e-3 vocoder parity contract).
+    ``dtype=float32`` must mean f32 math on every backend; the fast path
+    is selected by running the module in bf16 (the serving default), not
+    by letting the backend degrade f32. bf16 operands keep the default
+    (native single-pass MXU with f32 accumulate via preferred_element_type).
+    """
+    return jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+
 def _matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     # Accumulate in f32 even for bf16 operands: the MXU supports bf16-in/
     # f32-accumulate natively, and the K-tap sum would otherwise lose
     # precision. The final cast back to the input dtype happens once in the
     # callers.
-    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+    return jnp.matmul(
+        a, b, preferred_element_type=jnp.float32, precision=_precision(a)
+    )
 
 
 def _conv_pet(x):
@@ -117,6 +134,7 @@ def conv1d_mm(
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=groups,
             preferred_element_type=_conv_pet(x),
+            precision=_precision(x),
         ).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (pl, pr), (0, 0)))
     t_pad = xp.shape[1]
@@ -135,6 +153,7 @@ def conv1d_mm(
             contrib = jnp.einsum(
                 "btgc,cgd->btgd", xs, kg[j],
                 preferred_element_type=jnp.float32,
+                precision=_precision(x),
             )
             y = contrib if y is None else y + contrib
         return y.reshape(x.shape[0], t_out, cout).astype(x.dtype)
@@ -217,6 +236,7 @@ def conv_transpose1d_mm(
             lhs_dilation=(u,),
             dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=_conv_pet(x),
+            precision=_precision(x),
         ).astype(x.dtype)
 
     m_max = (k - 1) // u + 1  # max taps in any phase
@@ -268,6 +288,7 @@ def conv2d_mm(
             padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=_conv_pet(x),
+            precision=_precision(x),
         ).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
     sh, sw = strides

@@ -218,11 +218,19 @@ class DynamicBatcher:
             self._pipe.warmup_fused(pcm16=self._pcm16)
         elif hasattr(self._pipe, "warmup"):
             self._pipe.warmup()
-        for b in self._batch_buckets:
-            self._pipe.synthesize(
-                ["warm up the jit cache."] * b, fused=False, seed=0,
-                pcm16=self._pcm16,  # same variant live traffic will hit
+        if hasattr(self._pipe, "warmup_batched"):
+            # Every (batch, phoneme, frame) bucket combination live traffic
+            # can reach — a text probe would warm only its own combo and
+            # leave the first long or mid-length request paying a compile.
+            self._pipe.warmup_batched(
+                self._batch_buckets, pcm16=self._pcm16
             )
+        else:  # AOT pipelines: fixed executables, probes are cache hits
+            for b in self._batch_buckets:
+                self._pipe.synthesize(
+                    ["warm up the jit cache."] * b, fused=False, seed=0,
+                    pcm16=self._pcm16,  # same variant live traffic hits
+                )
 
     def healthy(self) -> bool:
         """True while the device thread is alive and accepting work."""
@@ -469,7 +477,7 @@ class DynamicBatcher:
             ),
             "batch_size_hist": hist,
             "latency_ms": {"p50": pct(0.50), "p95": pct(0.95),
-                           "max": pct(1.0)},
+                           "p99": pct(0.99), "max": pct(1.0)},
             # Streaming time-to-first-audio (first chunk on the wire).
             "ttfa_ms": {"p50": _pct_of(ttfas, 0.50),
                         "p95": _pct_of(ttfas, 0.95),

@@ -111,15 +111,17 @@ def main() -> None:
         n_fused = pipe.warmup_fused(pcm16=pcm16)
         logger.info("fused path: %d bucket-pair executables compiled",
                     n_fused)
-        b = 1
+        # Two-stage batched executables at every (batch, phoneme, frame)
+        # bucket combination traffic can reach — stage B is keyed on the
+        # phoneme bucket too (the encoder output rides into it), so text
+        # probes would leave most combinations cold.
+        batch_buckets, b = [], 1
         while b < args.max_batch:
-            pipe.synthesize(
-                ["warm up the jit cache."] * b, fused=False, seed=0,
-                pcm16=pcm16,
-            )
+            batch_buckets.append(b)
             b *= 2
-        pipe.synthesize(["warm up the jit cache."] * args.max_batch,
-                        fused=False, seed=0, pcm16=pcm16)
+        batch_buckets.append(args.max_batch)
+        n_batched = pipe.warmup_batched(batch_buckets, pcm16=pcm16)
+        logger.info("batched path: %d executables compiled", n_batched)
         logger.info("warmup done in %.1fs (live-jit path)",
                     time.monotonic() - t0)
     else:

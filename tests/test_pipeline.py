@@ -391,3 +391,31 @@ def test_stream_vocode_chunked(pipeline):
     # Chunk 1's audio == vocode of its mel at the stream's derived seed.
     mel = pipeline.synthesize_mel(chunks[1], seed=8)
     np.testing.assert_array_equal(sentences[1], pipeline.vocode(mel))
+
+
+def test_warmup_batched_precompiles_every_reachable_executable():
+    """After warmup_batched, live batched traffic is all cache hits —
+    stage B is keyed by (batch, phoneme-bucket, frame-bucket), so probe
+    sentences alone would leave most combinations cold."""
+    pipe = TTSPipeline.initialize(_small_config(), seed=0)
+    pipe.phoneme_buckets = (16, 32)
+    pipe.frame_buckets = (32, 64, 128)
+
+    # Count formula: per batch size, one stage-A per phoneme bucket plus
+    # stage-B at every frame bucket within the frames-per-phoneme band
+    # (the smallest frame bucket always compiles).
+    n = pipe.warmup_batched((1, 2), max_frames_per_phoneme=2)
+    # b=1: stage A x2; stage B p=16 -> {32}, p=32 -> {32, 64} = 3. Total 5.
+    assert n == 10
+    n_full = pipe.warmup_batched((1, 2))  # default band covers the ladder
+    assert n_full == 2 * (2 + 2 * 3)
+
+    a_size = pipe._stage_a._cache_size()
+    b_size = pipe._stage_b._cache_size()
+    out = pipe.synthesize(
+        ["hello world", "a somewhat longer sentence to cross buckets"],
+        fused=False, seed=0,
+    )
+    assert len(out) == 2 and all(np.isfinite(o).all() for o in out)
+    assert pipe._stage_a._cache_size() == a_size
+    assert pipe._stage_b._cache_size() == b_size

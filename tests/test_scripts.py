@@ -237,3 +237,22 @@ def test_mem_analysis_cli_json():
     rows = [json.loads(ln) for ln in r.stdout.strip().splitlines()]
     assert {row["remat"] for row in rows} == {False, True}
     assert all(row["temp_mib"] > 0 for row in rows)
+
+
+def test_bench_serve_cli(small_cfg_file):
+    """Serving load benchmark emits one JSON line (closed loop, tiny
+    shapes) with sane counters."""
+    r = _run([
+        "scripts/bench_serve.py", "--config", str(small_cfg_file),
+        "--clients", "2", "--requests", "2",
+        "--phoneme_buckets", "16,32", "--frame_buckets", "32,64",
+        "--max_batch", "2",
+    ], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "serve_qps"
+    assert payload["requests_completed"] == 4
+    assert payload["latency_ms"]["p99"] is not None
+    assert payload["value"] > 0

@@ -120,6 +120,23 @@ def test_train_encoder_cli_end_to_end_with_resume(small_cfg_file, tmp_path):
     assert "resumed from step" in (r2.stderr + r2.stdout)
 
 
+def test_bench_batch_sweep_cli(small_cfg_file):
+    """bench_batch_sweep emits one JSON line per batch point with the
+    marginal scaling efficiency filled in from the second point on."""
+    r = _run([
+        "scripts/bench_batch_sweep.py", "--config", str(small_cfg_file),
+        "--batches", "1,2", "--phonemes", "8", "--frames", "32",
+        "--iters", "2",
+    ], timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(l) for l in r.stdout.splitlines() if l.strip()]
+    assert [row["batch"] for row in rows] == [1, 2]
+    assert all(row["metric"] == "synthesis_batch_sweep" for row in rows)
+    assert all(row["mel_frames_per_sec"] > 0 for row in rows)
+    assert rows[0]["marginal_scaling_eff"] is None
+    assert rows[1]["marginal_scaling_eff"] is not None
+
+
 def test_bench_train_cli_shape():
     """bench_train emits exactly one JSON line on stdout (tiny shapes)."""
     r = _run([

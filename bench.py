@@ -173,18 +173,11 @@ def main() -> None:
     lengths = jnp.full((B,), P, jnp.int32)
     key = jnp.asarray(0, jnp.int32)
 
-    # Vocoder MRF implementation. The fused Pallas kernel (ops/mrf_pallas.py)
-    # wins the isolated stage benches on the round-3 backend (1.29-1.56x)
-    # but loses 0.77x inside the full synthesis executable (XLA's cross-op
-    # fusion at the kernel boundaries; scripts/bench_mrf.py + /tmp e2e
-    # A/B), so XLA stays the default; IRIS_MRF_IMPL=pallas opts in.
-    mrf_impl = "xla" if on_cpu else os.environ.get("IRIS_MRF_IMPL", "xla")
-
     @jax.jit
     def synth(params, ids, lengths, seed, acc):
         enc, frames, _ = pipe._stage_a_fn(params, ids, lengths)
         audio, mel, n_frames = pipe._stage_b_fn(
-            params, enc, frames, seed, total_frames=T, mrf_impl=mrf_impl
+            params, enc, frames, seed, total_frames=T
         )
         # Accumulate a checksum ON DEVICE: the final host fetch of ``acc``
         # forces every chained iteration (block_until_ready does not reliably
@@ -263,7 +256,7 @@ def main() -> None:
     @jax.jit
     def synth_one(params, ids, lengths, seed):
         audio, _, _, _ = pipe._fused_fn(
-            params, ids, lengths, seed, total_frames=T1, mrf_impl=mrf_impl
+            params, ids, lengths, seed, total_frames=T1
         )
         return audio
 
@@ -286,7 +279,6 @@ def main() -> None:
     # Public-API latency (text in → trimmed waveform on host, incl. the
     # frontend and the batched device→host fetch).
     text = "The quick brown fox jumps over the lazy dog."
-    pipe.mrf_impl = mrf_impl
     pipe.synthesize(text, seed=0)  # compile
     api_lats = []
     for i in range(11):

@@ -20,7 +20,7 @@ fine-tune stage).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -188,114 +188,6 @@ class HiFiGANGenerator(nn.Module):
         x = TorchConv1d(1, 7, dtype=self.dtype, name="conv_post")(x)
         x = jnp.tanh(x)
         return x[..., 0]  # [B, T_samples]
-
-
-# ---------------------------------------------------------------------------
-# Fused inference fast path
-# ---------------------------------------------------------------------------
-
-
-def _mrf_xla(x, weights, biases, kernel_sizes, dilations):
-    """XLA reference for one MRF stage in the stacked-weight layout of
-    :mod:`iris_tts_tpu.ops.mrf_pallas` (same math as the ResBlock modules)."""
-    acc = None
-    for w, bb, k, dils_j in zip(weights, biases, kernel_sizes, dilations):
-        cur = x
-        for p, d in enumerate(dils_j):
-            pad1 = (k * d - d) // 2
-            h = conv1d_mm(
-                leaky_relu(cur), w[2 * p], dilation=d, padding=(pad1, pad1)
-            ) + bb[2 * p]
-            pad2 = (k - 1) // 2
-            h = conv1d_mm(
-                leaky_relu(h), w[2 * p + 1], padding=(pad2, pad2)
-            ) + bb[2 * p + 1]
-            cur = cur + h
-        acc = cur if acc is None else acc + cur
-    return acc / len(kernel_sizes)
-
-
-def hifigan_apply_fused(
-    params,
-    mel: jnp.ndarray,
-    config: HiFiGANConfig = HiFiGANConfig(),
-    *,
-    dtype: Any = jnp.float32,
-    mrf_impl: str = "pallas",
-    mrf_channels_max: int = 128,
-    tile: int = 2048,
-    interpret: Optional[bool] = None,
-) -> jnp.ndarray:
-    """Generator forward with fused Pallas MRF stages (inference fast path).
-
-    Numerically equivalent to ``HiFiGANGenerator.apply`` on the same params
-    (tested in tests/test_mrf_pallas.py); the MRF of every stage whose
-    channel count fits the VMEM weight budget (C <= ``mrf_channels_max``)
-    runs as Pallas kernels instead of ~18 XLA convs — see ops/mrf_pallas.py
-    for the traffic math. ``mrf_impl='xla'`` keeps the stacked-weight
-    layout but runs plain convs (for parity testing and backends without
-    Pallas).
-
-    Measured honestly across backends (scripts/bench_mrf.py, v5e bf16):
-    round 2 the kernel lost 0.63-0.98x; on the round-3 backend it WINS the
-    isolated stage benches (C=128 1.56x, C=64 1.48x, C=32 1.29x) but still
-    LOSES end-to-end inside the full synthesis executable (0.77x: 150.5 vs
-    115.5 ms for B=8 x 11.9 s — XLA's cross-op fusion and scheduling
-    around the kernel boundaries outweigh the per-stage gains, and the
-    Mosaic helper rejects the single-group 126-tap kernel that would halve
-    the HBM passes). The pipeline therefore still defaults to "xla"; this
-    path stays an opt-in, re-benchmarked each backend generation.
-
-    Args:
-        params: HiFiGANGenerator param tree (conv_pre / ups_i / resblocks_* /
-            conv_post).
-        mel: [B, T, n_mels] time-major.
-    Returns:
-        [B, T * total_upsample] waveform.
-    """
-    from iris_tts_tpu.ops.mrf_pallas import (
-        mrf_stage_pallas,
-        stack_resblock_params,
-    )
-
-    if interpret is None:
-        # Mosaic kernels only compile for TPU backends (incl. the tunneled
-        # "axon" platform); interpret mode keeps the option working (slowly)
-        # on CPU test platforms.
-        interpret = jax.default_backend() == "cpu"
-
-    cfg = config
-    ks = cfg.resblock_kernel_sizes
-    dils = cfg.resblock_dilations
-    nk = len(ks)
-    x = mel.astype(dtype)
-
-    w = params["conv_pre"]
-    x = conv1d_mm(
-        x, w["kernel"].astype(dtype), padding=(3, 3)
-    ) + w["bias"].astype(dtype)
-
-    for i, (u, k) in enumerate(
-        zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
-    ):
-        ch = cfg.upsample_initial_channel // (2 ** (i + 1))
-        w = params[f"ups_{i}"]
-        x = conv_transpose1d_mm(
-            leaky_relu(x), w["kernel"].astype(dtype), stride=u
-        ) + w["bias"].astype(dtype)
-        weights, biases = stack_resblock_params(params, i, nk, dtype=dtype)
-        if mrf_impl == "pallas" and ch <= mrf_channels_max:
-            x = mrf_stage_pallas(
-                x, weights, biases, ks, dils, tile=tile, interpret=interpret
-            )
-        else:
-            x = _mrf_xla(x, weights, biases, ks, dils)
-
-    w = params["conv_post"]
-    x = conv1d_mm(
-        leaky_relu(x), w["kernel"].astype(dtype), padding=(3, 3)
-    ) + w["bias"].astype(dtype)
-    return jnp.tanh(x)[..., 0]
 
 
 def receptive_radius_frames(config: HiFiGANConfig = HiFiGANConfig()) -> int:

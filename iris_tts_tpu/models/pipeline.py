@@ -34,10 +34,7 @@ import numpy as np
 
 from iris_tts_tpu.config import IrisConfig
 from iris_tts_tpu.models.encoder import DurationPredictor, PhonemeEncoder
-from iris_tts_tpu.models.hifigan import (
-    HiFiGANGenerator,
-    hifigan_apply_fused,
-)
+from iris_tts_tpu.models.hifigan import HiFiGANGenerator
 from iris_tts_tpu.models.postnet import PostNet
 from iris_tts_tpu.models.vae import TextConditionedVAE
 from iris_tts_tpu.ops.length import (
@@ -125,14 +122,6 @@ class TTSPipeline:
     # or "gaussian" (soft Gaussian upsampling — smooths phoneme boundaries in
     # the frame conditioning; new functionality, ops/length.py).
     upsample: str = "hard"
-    # Vocoder MRF implementation: "xla" (flax module, portable, default) or
-    # "pallas" (fused kernels for stages with C <= 128, ops/mrf_pallas.py;
-    # TPU only). Honest bench history (scripts/bench_mrf.py, v5e bf16):
-    # round-2 backend 0.63-0.98x of XLA; round-3 backend wins the isolated
-    # stages (1.29-1.56x) but loses 0.77x inside the full synthesis
-    # executable — so "xla" stays the default and "pallas" is an opt-in
-    # re-measured per backend generation.
-    mrf_impl: str = "xla"
     # Optional data-parallel serving mesh (set via use_mesh(); None =
     # single-device). When set, every synthesis entry point pads the batch
     # to the data-axis multiple and shards the batch dim — GSPMD propagates
@@ -156,7 +145,7 @@ class TTSPipeline:
         self._stage_b = jax.jit(
             self._stage_b_fn,
             static_argnames=("total_frames", "use_postnet", "upsample",
-                             "mrf_impl", "pcm16"),
+                             "pcm16"),
         )
         self._stage_b_mel = jax.jit(
             self._stage_b_mel_fn,
@@ -165,19 +154,17 @@ class TTSPipeline:
         self._fused = jax.jit(
             self._fused_fn,
             static_argnames=("total_frames", "use_postnet", "upsample",
-                             "mrf_impl", "pcm16"),
+                             "pcm16"),
         )
-        self._vocode = jax.jit(
-            self._vocode_fn, static_argnames=("mrf_impl",)
-        )
+        self._vocode = jax.jit(self._vocode_fn)
         self._vocode_window = jax.jit(
             self._vocode_window_fn,
-            static_argnames=("chunk_samples", "mrf_impl", "pcm16"),
+            static_argnames=("chunk_samples", "pcm16"),
         )
         self._vocode_sp = jax.jit(
             self._vocode_sp_fn,
             static_argnames=("mesh", "chunk_frames", "window_frames",
-                             "mrf_impl", "pcm16"),
+                             "pcm16"),
         )
         # Fused-path overflow observability (VERDICT r2 item 6): rows whose
         # predicted frames exceeded the phoneme-count budget (speech-rate
@@ -389,7 +376,6 @@ class TTSPipeline:
                 "use_postnet": self.use_postnet,
                 "seed": self.seed,
                 "upsample": self.upsample,
-                "mrf_impl": self.mrf_impl,
                 # Tuned serving knobs: dropping these on reload would
                 # silently revert an operator's overflow-budget/bucket
                 # tuning (and change the jit-cache key set).
@@ -423,7 +409,9 @@ class TTSPipeline:
             dtype=dtype,
         )
         pipe.upsample = meta.get("upsample", "hard")
-        pipe.mrf_impl = meta.get("mrf_impl", "xla")
+        # meta may carry "mrf_impl" from artifacts saved before the Pallas
+        # MRF kernel was removed (it lost across three backend generations
+        # — docs/PERF.md); the key is accepted and ignored.
         pipe.fused_frames_per_phoneme = int(meta.get(
             "fused_frames_per_phoneme", pipe.fused_frames_per_phoneme
         ))
@@ -481,12 +469,7 @@ class TTSPipeline:
         )
         return mel, n_frames
 
-    def _apply_hifigan(self, params, mel, mrf_impl="xla"):
-        if mrf_impl == "pallas":
-            return hifigan_apply_fused(
-                params["hifigan"], mel, self.config.hifigan,
-                dtype=self.dtype, mrf_impl="pallas",
-            )
+    def _apply_hifigan(self, params, mel):
         return self._hifigan.apply({"params": params["hifigan"]}, mel)
 
     @staticmethod
@@ -502,7 +485,7 @@ class TTSPipeline:
 
     def _stage_b_fn(self, params, enc, frames, seed, *, total_frames,
                     temperature=1.0, use_postnet=True, upsample="hard",
-                    mrf_impl="xla", pcm16=False):
+                    pcm16=False):
         """length-regulate + VAE + PostNet + HiFiGAN → waveform.
         ``seed``: scalar int32 (the PRNG key is derived inside the
         executable). Returns (audio, mel, per-row frame counts)."""
@@ -510,7 +493,7 @@ class TTSPipeline:
             params, enc, frames, seed, total_frames, temperature, use_postnet,
             upsample,
         )
-        audio = self._apply_hifigan(params, mel, mrf_impl)
+        audio = self._apply_hifigan(params, mel)
         return self._maybe_pcm16(audio, pcm16), mel, n_frames
 
     def _stage_b_mel_fn(self, params, enc, frames, seed, *, total_frames,
@@ -575,7 +558,7 @@ class TTSPipeline:
 
     def _fused_fn(self, params, ids, lengths, seed, *, total_frames,
                   temperature=1.0, use_postnet=True, upsample="hard",
-                  mrf_impl="xla", pcm16=False):
+                  pcm16=False):
         """Single-dispatch serving path: stage A + stage B in ONE executable
         (:meth:`_fused_mel_fn` + the vocoder)."""
         mel, n_frames, deficit = self._fused_mel_fn(
@@ -583,27 +566,27 @@ class TTSPipeline:
             temperature=temperature, use_postnet=use_postnet,
             upsample=upsample,
         )
-        audio = self._apply_hifigan(params, mel, mrf_impl)
+        audio = self._apply_hifigan(params, mel)
         return self._maybe_pcm16(audio, pcm16), mel, n_frames, deficit
 
-    def _vocode_fn(self, params, mel, mrf_impl="xla"):
-        return self._apply_hifigan(params, mel, mrf_impl)
+    def _vocode_fn(self, params, mel):
+        return self._apply_hifigan(params, mel)
 
     def _vocode_window_fn(self, params, mel, start, *, chunk_samples,
-                          mrf_impl="xla", pcm16=False):
+                          pcm16=False):
         """Vocode one fixed-size mel window and return only the
         ``chunk_samples`` keep-region starting at sample ``start`` (traced,
         so every chunk position reuses ONE executable) — the device stage of
         :meth:`vocode_streaming`. Slicing before the fetch keeps the
         device→host transfer at chunk size, not window size."""
-        audio = self._apply_hifigan(params, mel, mrf_impl)
+        audio = self._apply_hifigan(params, mel)
         block = jax.lax.dynamic_slice_in_dim(
             audio, start, chunk_samples, axis=1
         )
         return self._maybe_pcm16(block, pcm16)
 
     def _vocode_sp_fn(self, params, mel, w0s, starts_f, *, mesh,
-                      chunk_frames, window_frames, mrf_impl="xla",
+                      chunk_frames, window_frames,
                       pcm16=False):
         """Sequence-parallel vocoding: device stage of
         :meth:`vocode_sharded`.
@@ -637,7 +620,7 @@ class TTSPipeline:
         d, b = wins.shape[0], wins.shape[1]
         flat = wins.reshape(d * b, window_frames, wins.shape[-1])
         flat = jax.lax.with_sharding_constraint(flat, shard)
-        audio = self._apply_hifigan(params, flat, mrf_impl)  # [D*B, W*spf]
+        audio = self._apply_hifigan(params, flat)  # [D*B, W*spf]
         audio = jax.lax.with_sharding_constraint(
             audio.reshape(d, b, -1), shard
         )
@@ -855,7 +838,7 @@ class TTSPipeline:
                     self.params, ids_dev, lengths_dev, self._next_seed(0),
                     total_frames=t_bucket, temperature=temperature,
                     use_postnet=self.use_postnet, upsample=self.upsample,
-                    mrf_impl=self.mrf_impl, pcm16=pcm16,
+                    pcm16=pcm16,
                 )
                 jax.block_until_ready(out)
         return len(pairs) * len(batch_sizes)
@@ -910,7 +893,7 @@ class TTSPipeline:
                         self.params, enc, frames, self._next_seed(0),
                         total_frames=t_bucket, temperature=temperature,
                         use_postnet=self.use_postnet, upsample=self.upsample,
-                        mrf_impl=self.mrf_impl, pcm16=pcm16,
+                        pcm16=pcm16,
                     )
                     jax.block_until_ready(out)
                     n += 1
@@ -954,7 +937,7 @@ class TTSPipeline:
                 self.params, ids_dev, lengths_dev,
                 self._next_seed(seed), total_frames=t_bucket,
                 temperature=temperature, use_postnet=self.use_postnet,
-                upsample=self.upsample, mrf_impl=self.mrf_impl,
+                upsample=self.upsample,
                 pcm16=pcm16,
             )
         else:
@@ -963,7 +946,7 @@ class TTSPipeline:
                 self.params, enc, frames, self._next_seed(seed),
                 total_frames=t_bucket, temperature=temperature,
                 use_postnet=self.use_postnet, upsample=self.upsample,
-                mrf_impl=self.mrf_impl, pcm16=pcm16,
+                pcm16=pcm16,
             )
             deficit = None
 
@@ -1015,7 +998,7 @@ class TTSPipeline:
             self.params, enc, frames, self._next_seed(seed),
             total_frames=t_bucket, temperature=temperature,
             use_postnet=self.use_postnet, upsample=self.upsample,
-            mrf_impl=self.mrf_impl, pcm16=pcm16,
+            pcm16=pcm16,
         )
         # pcm16 travels IN the handle: a collect with a mismatched flag
         # would reinterpret int16 PCM as float32 (full-scale noise).
@@ -1073,7 +1056,7 @@ class TTSPipeline:
             mel = mel[None]
         mel = mel_time_major(mel, self.config.hifigan.in_channels)
         audio = self._vocode(
-            self.params, jnp.asarray(mel), mrf_impl=self.mrf_impl
+            self.params, jnp.asarray(mel)
         )
         audio_np = np.asarray(audio, np.float32)
         return audio_np[0] if squeeze else audio_np
@@ -1137,7 +1120,6 @@ class TTSPipeline:
                 jnp.asarray(mel[w0 : w0 + window])[None],
                 jnp.asarray(start_cl_f * up, jnp.int32),
                 chunk_samples=chunk_samples,
-                mrf_impl=self.mrf_impl,
                 pcm16=pcm16,
             )
             block_np = np.asarray(jax.device_get(block))[0]
@@ -1238,7 +1220,6 @@ class TTSPipeline:
             mesh=mesh,
             chunk_frames=chunk,
             window_frames=window,
-            mrf_impl=self.mrf_impl,
             pcm16=pcm16,
         )
         out_np = np.asarray(jax.device_get(out))  # [B, n_dev*chunk*up]
@@ -1373,7 +1354,7 @@ class TTSPipeline:
                 self._next_seed(None if base is None else base + i),
                 total_frames=t_bucket, temperature=temperature,
                 use_postnet=self.use_postnet, upsample=self.upsample,
-                mrf_impl=self.mrf_impl, pcm16=pcm16,
+                pcm16=pcm16,
             )
             return audio, n_frames, deficit
 

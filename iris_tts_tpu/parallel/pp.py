@@ -87,11 +87,11 @@ class PipelineParallelSynthesizer:
             static_argnames=("total_frames", "use_postnet", "upsample"),
         )
 
-        def _voc_fn(params, mel, *, mrf_impl, pcm16):
-            audio = pipe._vocode_fn(params, mel, mrf_impl)
+        def _voc_fn(params, mel, *, pcm16):
+            audio = pipe._vocode_fn(params, mel)
             return pipe._maybe_pcm16(audio, pcm16)
 
-        self._voc = jax.jit(_voc_fn, static_argnames=("mrf_impl", "pcm16"))
+        self._voc = jax.jit(_voc_fn, static_argnames=("pcm16",))
 
     # -- per-batch dispatch/collect (the batcher's lookahead shape) --------
 
@@ -121,9 +121,7 @@ class PipelineParallelSynthesizer:
         )
         # Inter-stage handoff: reshard the mel onto the vocoder group.
         mel_b = jax.device_put(mel, self._rows_b)
-        audio = self._voc(
-            self._params_b, mel_b, mrf_impl=pipe.mrf_impl, pcm16=pcm16
-        )
+        audio = self._voc(self._params_b, mel_b, pcm16=pcm16)
         return audio, n_frames, deficit, n
 
     def _collect(self, disp, pcm16):

@@ -113,7 +113,6 @@ def export_pipeline(
                     pipe.params, ids, lengths, seed, total_frames=_t,
                     temperature=temperature,
                     use_postnet=pipe.use_postnet, upsample=pipe.upsample,
-                    mrf_impl=pipe.mrf_impl,
                 )
 
             args = (
@@ -160,7 +159,7 @@ def export_pipeline(
         def vfn(mel, start):
             return pipe._vocode_window_fn(
                 pipe.params, mel, start,
-                chunk_samples=chunk_samples, mrf_impl=pipe.mrf_impl,
+                chunk_samples=chunk_samples,
             )
 
         vexp = jax_export.export(

@@ -184,7 +184,6 @@ def main() -> None:
                 total_frames=t_bucket,
                 use_postnet=pipe.use_postnet,
                 upsample=pipe.upsample,
-                mrf_impl=pipe.mrf_impl,
             )
             n_frames = np.asarray(n_frames_arr).astype(int)
             audio_np = np.asarray(audio)

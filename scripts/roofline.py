@@ -83,12 +83,12 @@ def main() -> None:
         upsample=pipe.upsample,
     )
     stages["vocoder (HiFiGAN)"] = _cost(
-        pipe._vocode_fn, pipe.params, mel, mrf_impl="xla",
+        pipe._vocode_fn, pipe.params, mel,
     )
     stages["fused end-to-end"] = _cost(
         pipe._fused_fn, pipe.params, ids, lengths, seed,
         total_frames=T, use_postnet=pipe.use_postnet,
-        upsample=pipe.upsample, mrf_impl="xla", pcm16=True,
+        upsample=pipe.upsample, pcm16=True,
     )
 
     peak_fl = args.peak_tflops * 1e12

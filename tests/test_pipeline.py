@@ -324,7 +324,7 @@ def test_chunk_long_text_oversized_single_word(pipeline):
 
 
 def test_save_load_roundtrips_pipeline_options(pipeline, tmp_path):
-    """upsample / mrf_impl survive save() → load() like use_postnet does."""
+    """upsample survives save() → load() like use_postnet does."""
     from iris_tts_tpu.models import TTSPipeline
 
     pipeline.upsample = "gaussian"
@@ -334,7 +334,6 @@ def test_save_load_roundtrips_pipeline_options(pipeline, tmp_path):
         pipeline.upsample = "hard"
     loaded = TTSPipeline.load(tmp_path / "exported")
     assert loaded.upsample == "gaussian"
-    assert loaded.mrf_impl == "xla"
 
 
 def test_stream_yields_incremental_chunks(pipeline):

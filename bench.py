@@ -234,6 +234,59 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Bulk-throughput headline: the batch sweep (scripts/bench_batch_sweep,
+    # docs/PERF.md) measured throughput climbing past B=8 all the way to
+    # B=128, where the executable crosses the roofline ridge and becomes
+    # FLOPs-bound (arith intensity ~302 vs the ~240 ridge: XLA fuses ~2.3x
+    # more HBM traffic per frame away at large batch). B=8 stays the
+    # latency-balanced serving point; B=128 is the per-chip capability.
+    # Guarded: the remote compile helper 500s on some oversized modules
+    # (B=160+ reproducibly; B=128 compiles but a loaded helper may flake),
+    # so fall back down the ladder rather than lose the headline.
+    bulk = {}
+    if not on_cpu:
+        for B_bulk in (128, 96, 64):
+            try:
+                ids_b = jnp.asarray(
+                    rng.integers(2, len(pipe.vocab), size=(B_bulk, P)),
+                    jnp.int32,
+                )
+                len_b = jnp.full((B_bulk,), P, jnp.int32)
+                t0 = time.time()
+                audio_b, a = synth(
+                    pipe.params, ids_b, len_b, key, jnp.float32(0)
+                )
+                float(a)
+                compile_bulk_s = time.time() - t0
+                acc = jnp.float32(0)
+                n_bulk = 5
+                t0 = time.time()
+                for i in range(n_bulk):
+                    audio_b, acc = synth(
+                        pipe.params, ids_b, len_b,
+                        jnp.asarray(i, jnp.int32), acc,
+                    )
+                float(acc)
+                wall_b = (time.time() - t0) / n_bulk
+                audio_s_b = audio_b.shape[0] * audio_b.shape[1] / sr
+                bulk = {
+                    "bulk_batch": B_bulk,
+                    "bulk_rtf": round(audio_s_b / wall_b, 2),
+                    "bulk_mel_frames_per_sec": round(B_bulk * T / wall_b, 1),
+                }
+                print(
+                    f"bench: bulk throughput B={B_bulk}: "
+                    f"{audio_s_b:.0f}s audio in {wall_b*1e3:.0f}ms → "
+                    f"{bulk['bulk_rtf']:.0f}x realtime "
+                    f"(compile {compile_bulk_s:.0f}s)", file=sys.stderr,
+                )
+                break
+            except Exception as e:  # noqa: BLE001 — helper flake: step down
+                print(
+                    f"bench: bulk B={B_bulk} failed ({type(e).__name__}); "
+                    "stepping down", file=sys.stderr,
+                )
+
     # Secondary metric (BASELINE.md): p50 single-utterance latency at a
     # short-utterance shape (B=1, 256 frames ≈ 3 s of audio).
     if on_cpu:
@@ -332,12 +385,25 @@ def main() -> None:
     # implement cost_analysis.
     sol = {}
     try:
-        # Reuse the ALREADY-JITTED synth (fresh jax.jit would re-trace and
-        # recompile the largest executable just for diagnostics). Peaks
-        # mirror scripts/roofline.py's --peak_* defaults (v5e).
+        # Cost model for the HEADLINE executable (the bulk batch when it
+        # ran, else B=8). Reuses the already-jitted synth — same traced fn,
+        # so .lower().compile() hits the executable cache. Peaks mirror
+        # scripts/roofline.py's --peak_* defaults (v5e).
+        if bulk:
+            B_sol = bulk["bulk_batch"]
+            sol_ids = jnp.asarray(
+                rng.integers(2, len(pipe.vocab), size=(B_sol, P)), jnp.int32
+            )
+            sol_lens = jnp.full((B_sol,), P, jnp.int32)
+            sol_audio_s = B_sol * T * cfg.audio.hop_length / sr
+            sol_rtf = bulk["bulk_rtf"]
+        else:
+            sol_ids, sol_lens = ids, lengths
+            sol_audio_s = audio_seconds
+            sol_rtf = rtf
         ca = (
             synth
-            .lower(pipe.params, ids, lengths, key, jnp.float32(0))
+            .lower(pipe.params, sol_ids, sol_lens, key, jnp.float32(0))
             .compile()
             .cost_analysis()
         )
@@ -346,28 +412,34 @@ def main() -> None:
         fl, by = float(ca.get("flops", 0)), float(ca.get("bytes accessed", 0))
         t_sol = max(fl / 197e12, by / 819e9)  # v5e dense-bf16 / HBM peaks
         if t_sol > 0:
-            sol_rt = audio_seconds / t_sol
+            sol_rt = sol_audio_s / t_sol
             sol = {
                 "sol_rt_factor": round(sol_rt, 1),
-                "sol_fraction": round(rtf / sol_rt, 3),
+                "sol_fraction": round(sol_rtf / sol_rt, 3),
                 "sol_bound": "hbm" if by / 819e9 > fl / 197e12 else "flops",
             }
             print(
                 f"bench: roofline — speed of light {sol_rt:.0f}x realtime "
                 f"({sol['sol_bound']}-bound) → running at "
-                f"{100*rtf/sol_rt:.0f}% of light", file=sys.stderr,
+                f"{100*sol_rtf/sol_rt:.0f}% of light", file=sys.stderr,
             )
     except Exception as e:  # noqa: BLE001 — diagnostics must not fail bench
         print(f"bench: cost_analysis unavailable ({e})", file=sys.stderr)
 
+    headline_rtf = bulk.get("bulk_rtf", rtf)
     print(
         json.dumps(
             {
                 "metric": "synthesis_rtf_per_chip",
-                "value": round(rtf, 2),
+                "value": round(headline_rtf, 2),
                 "unit": "x_realtime",
-                "vs_baseline": round(rtf / 50.0, 3),
-                "mel_frames_per_sec": round(mel_fps, 1),
+                "vs_baseline": round(headline_rtf / 50.0, 3),
+                "mel_frames_per_sec": bulk.get(
+                    "bulk_mel_frames_per_sec", round(mel_fps, 1)
+                ),
+                "rtf_b8": round(rtf, 2),
+                "mel_frames_per_sec_b8": round(mel_fps, 1),
+                **bulk,
                 "p50_fused_dispatch_ms": round(p50 * 1e3, 2),
                 "p50_public_api_ms": round(api_p50 * 1e3, 2),
                 "p50_public_api_pcm16_ms": round(pcm_p50 * 1e3, 2),

@@ -55,6 +55,20 @@ def _use_native(impl: Optional[str]) -> bool:
     return (impl or _IMPL) == "native"
 
 
+# Transpose-conv-only override (IRIS_CONVT_IMPL=native|matmul|pair): the
+# three formulations land very differently per stage shape on the tunneled
+# backends (isolated at B=8: native 13x SLOWER than pair at the C512→256
+# u=8 stage, but fastest at C128→64 u=2 — /tmp probe, 2026-08-18), and
+# isolated wins do not compose inside the fused executable, so the knob
+# exists to A/B end to end per backend generation. Default: follow
+# IRIS_CONV_IMPL.
+_CONVT_IMPL = os.environ.get("IRIS_CONVT_IMPL") or None
+
+
+def _convt_impl(impl: Optional[str]) -> str:
+    return impl or _CONVT_IMPL or _IMPL
+
+
 def _precision(x) -> Optional[jax.lax.Precision]:
     """Matmul/conv precision for operands of ``x``'s dtype.
 
@@ -224,7 +238,8 @@ def conv_transpose1d_mm(
         crop = (k - u) // 2
     b, t, _ = x.shape
 
-    if _use_native(impl):
+    mode = _convt_impl(impl)
+    if mode == "native":
         # True convolution == cross-correlation with the K axis flipped;
         # upsampling == lhs dilation. Padding (k-1-crop) per side yields
         # out length (T-1)·u + k - 2·crop (== T·u for the torch default).
@@ -238,6 +253,8 @@ def conv_transpose1d_mm(
             preferred_element_type=_conv_pet(x),
             precision=_precision(x),
         ).astype(x.dtype)
+    if mode == "pair":
+        return _conv_transpose1d_pair(x, kernel, u, crop)
 
     m_max = (k - 1) // u + 1  # max taps in any phase
     base_max = (u - 1 + crop) // u
@@ -265,6 +282,59 @@ def conv_transpose1d_mm(
     return (
         jnp.stack(outs, axis=2).reshape(b, t * u, cout).astype(x.dtype)
     )
+
+
+def _conv_transpose1d_pair(
+    x: jnp.ndarray, kernel: jnp.ndarray, u: int, crop: int
+) -> jnp.ndarray:
+    """Tap-major wide-matmul formulation of the transposed conv.
+
+    The per-phase decomposition above runs K small [C_in, C_out] matmuls.
+    Phases sharing the same (tap m, input offset) can instead share ONE
+    [C_in, n_phases·C_out] matmul — for the HiFiGAN contract (K = 2u,
+    crop = u/2) that is 4 matmuls of [C_in, u/2·C_out] regardless of K
+    (K=16 → 4), a much wider MXU contraction per dispatch. Same math;
+    measured 13x faster than the native lowering at the C512→256 u=8
+    stage in isolation (B=8, bf16, v5e) — but LOSES inside the full
+    fused synthesis executable (2097x vs native's 2570x RT at B=128;
+    2026-08-18 backend), where XLA fuses the native convT with its
+    neighbors. Isolated wins do not compose on this compiler; re-A/B
+    end to end (IRIS_CONVT_IMPL=pair python bench.py) before changing
+    the default."""
+    k, cin, cout = kernel.shape
+    b, t, _ = x.shape
+    m_max = (k - 1) // u + 1
+    base_max = (u - 1 + crop) // u
+    xp = jnp.pad(x, ((0, 0), (m_max - 1, base_max), (0, 0)))
+
+    groups: dict = {}  # (m, base) -> list of (phase, kernel_row)
+    for c in range(u):
+        r_c = (c + crop) % u
+        base_c = (c + crop) // u
+        m = 0
+        while r_c + u * m < k:
+            groups.setdefault((m, base_c - m), []).append((c, r_c + u * m))
+            m += 1
+    phase_acc: list = [None] * u
+    for (m, base), members in groups.items():
+        wm = jnp.concatenate([kernel[row] for _, row in members], axis=1)
+        start = base + (m_max - 1)
+        xs = jax.lax.slice_in_dim(xp, start, start + t, axis=1)
+        yy = jnp.einsum(
+            "btc,cd->btd", xs, wm,
+            preferred_element_type=_conv_pet(x),
+            precision=_precision(x),
+        )
+        for i, (c, _) in enumerate(members):
+            part = yy[..., i * cout:(i + 1) * cout]
+            phase_acc[c] = (
+                part if phase_acc[c] is None else phase_acc[c] + part
+            )
+    zero = jnp.zeros((b, t, cout), _conv_pet(x) or x.dtype)
+    y = jnp.stack(
+        [p if p is not None else zero for p in phase_acc], axis=2
+    ).reshape(b, t * u, cout)
+    return y.astype(x.dtype)
 
 
 def conv2d_mm(

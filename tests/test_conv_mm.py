@@ -56,7 +56,7 @@ def test_conv1d_mm_matches_lax(rng, k, stride, dilation, groups, impl):
 
 
 @pytest.mark.parametrize("k,u", [(16, 8), (4, 2), (8, 4), (6, 2), (3, 1)])
-@pytest.mark.parametrize("impl", IMPLS)
+@pytest.mark.parametrize("impl", IMPLS + ("pair",))
 def test_conv_transpose1d_mm_matches_torch(rng, k, u, impl):
     torch = pytest.importorskip("torch")
     import torch.nn as tnn

@@ -20,9 +20,17 @@ run() {
 # 1. Headline bench (RTF, latencies, roofline fraction, cold start).
 run bench python bench.py
 
-# 2. Training throughput, f32 vs bf16 mixed precision.
+# 2. Training throughput: f32 vs bf16 at the small and deployment batch
+#    sizes (the bf16 verdict flips with batch — docs/PERF.md), plus one
+#    GAN fine-tuning pair.
 run train_f32  python scripts/bench_train.py --batch_size 16 --frames 1024
 run train_bf16 python scripts/bench_train.py --batch_size 16 --frames 1024 --bf16
+run train_f32_b128  python scripts/bench_train.py --batch_size 128 --frames 1024
+run train_bf16_b128 python scripts/bench_train.py --batch_size 128 --frames 1024 --bf16
+run train_gan python scripts/bench_train.py --stage gan --batch_size 16 --segment_frames 32 --iters 6
+
+# 2b. Synthesis batch sweep (knee + bulk scaling).
+run batch_sweep python scripts/bench_batch_sweep.py --batches 8,32,128 --iters 5
 
 # 3. Roofline from the TPU backend's own cost model (falls back to CPU
 #    lowering when the plugin lacks cost_analysis).

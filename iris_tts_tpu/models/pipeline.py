@@ -67,6 +67,20 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _force_done(out) -> None:
+    """Force execution AND completion of a dispatched computation.
+
+    ``jax.block_until_ready`` returns before the computation finishes on
+    tunneled PJRT backends (observed on axon), so a warmup that "blocks"
+    with it returns while the device still grinds through the queued
+    executions — and the first live requests then stall minutes behind the
+    backlog (measured: serving p95 of 313 s right after a "finished"
+    warmup). Fetching any output to the host is the only reliable barrier;
+    the smallest leaf keeps the transfer negligible."""
+    leaves = jax.tree_util.tree_leaves(out)
+    np.asarray(min(leaves, key=lambda a: a.size))
+
+
 def mel_time_major(mel, n_mels: int):
     """Normalize a mel to time-major ``[..., T, n_mels]``, accepting the
     reference layout ``[..., n_mels, T]`` (data.py:121 emits channel-major).
@@ -840,7 +854,7 @@ class TTSPipeline:
                     use_postnet=self.use_postnet, upsample=self.upsample,
                     pcm16=pcm16,
                 )
-                jax.block_until_ready(out)
+                _force_done(out)
         return len(pairs) * len(batch_sizes)
 
     def warmup_batched(
@@ -895,7 +909,7 @@ class TTSPipeline:
                         use_postnet=self.use_postnet, upsample=self.upsample,
                         pcm16=pcm16,
                     )
-                    jax.block_until_ready(out)
+                    _force_done(out)
                     n += 1
         return n
 

@@ -180,8 +180,10 @@ def main() -> None:
     ap.add_argument("--requests", type=int, default=8,
                     help="requests per client (closed loop) or total "
                     "requests (open loop)")
-    ap.add_argument("--offered_qps", type=float, default=None,
-                    help="open-loop Poisson arrival rate (in-process only)")
+    ap.add_argument("--offered_qps", type=str, default=None,
+                    help="open-loop Poisson arrival rate (in-process "
+                    "only); a comma list sweeps rates in one process so "
+                    "the warmup cost is paid once")
     ap.add_argument("--http", action="store_true",
                     help="drive the real HTTP server over localhost")
     ap.add_argument("--pcm16", action="store_true",
@@ -212,7 +214,11 @@ def main() -> None:
     if args.offered_qps and args.http:
         ap.error("--offered_qps is in-process only (no --http)")
 
-    mode = "open" if args.offered_qps else "closed"
+    offered_rates = (
+        [float(x) for x in args.offered_qps.split(",")]
+        if args.offered_qps else []
+    )
+    mode = "open" if offered_rates else "closed"
     transport = "http" if args.http else "inproc"
 
     if args.http:
@@ -247,47 +253,64 @@ def main() -> None:
                 audio = batcher.synthesize(text, timeout=timeout)
                 return _audio_seconds_inproc(audio, sr)
 
+        runs = []  # (rate|None, lats, audio_s, rejected, wall, n_sent, hist)
+        prev_hist = {}
+
+        def _hist_delta():
+            # batcher counters are cumulative; report per-run dispatches.
+            nonlocal prev_hist
+            cur = dict(batcher.stats()["batch_size_hist"])
+            delta = {k: v - prev_hist.get(k, 0) for k, v in cur.items()
+                     if v - prev_hist.get(k, 0) > 0}
+            prev_hist = cur
+            return delta
+
         if mode == "open":
-            lats, audio_s, rejected, wall = open_loop(
-                batcher, sr, args.offered_qps, args.requests,
-                args.timeout_s,
-            )
-            n_sent = args.requests
+            for rate in offered_rates:
+                lats, audio_s, rejected, wall = open_loop(
+                    batcher, sr, rate, args.requests, args.timeout_s,
+                )
+                runs.append((rate, lats, audio_s, rejected, wall,
+                             args.requests, _hist_delta()))
         else:
             lats, audio_s, rejected, wall = closed_loop(
                 submit, args.clients, args.requests, args.timeout_s,
             )
-            n_sent = args.clients * args.requests
-        stats = batcher.stats()
+            runs.append((None, lats, audio_s, rejected, wall,
+                         args.clients * args.requests, _hist_delta()))
     finally:
         (server.stop() if server else batcher.stop())
 
-    lats_sorted = sorted(lats)
-    completed = len(lats)
-    payload = {
-        "metric": "serve_qps",
-        "value": round(completed / wall, 2) if wall else 0.0,
-        "unit": "req/s",
-        "mode": mode,
-        "transport": transport,
-        "clients": args.clients if mode == "closed" else None,
-        "offered_qps": args.offered_qps,
-        "requests_sent": n_sent,
-        "requests_completed": completed,
-        "rejected_503": rejected,
-        "latency_ms": {
-            "p50": _pct(lats_sorted, 0.50),
-            "p95": _pct(lats_sorted, 0.95),
-            "p99": _pct(lats_sorted, 0.99),
-            "max": _pct(lats_sorted, 1.0),
-        },
-        "audio_rt_factor": round(audio_s / wall, 2) if wall else 0.0,
-        "mean_batch_size": round(stats["mean_batch_size"], 2),
-        "batch_size_hist": stats["batch_size_hist"],
-        "pcm16": bool(args.pcm16),
-        "wall_s": round(wall, 2),
-    }
-    print(json.dumps(payload))
+    for rate, lats, audio_s, rejected, wall, n_sent, hist in runs:
+        lats_sorted = sorted(lats)
+        completed = len(lats)
+        payload = {
+            "metric": "serve_qps",
+            "value": round(completed / wall, 2) if wall else 0.0,
+            "unit": "req/s",
+            "mode": mode,
+            "transport": transport,
+            "clients": args.clients if mode == "closed" else None,
+            "offered_qps": rate,
+            "requests_sent": n_sent,
+            "requests_completed": completed,
+            "rejected_503": rejected,
+            "latency_ms": {
+                "p50": _pct(lats_sorted, 0.50),
+                "p95": _pct(lats_sorted, 0.95),
+                "p99": _pct(lats_sorted, 0.99),
+                "max": _pct(lats_sorted, 1.0),
+            },
+            "audio_rt_factor": round(audio_s / wall, 2) if wall else 0.0,
+            "mean_batch_size": (
+                round(sum(int(k) * v for k, v in hist.items())
+                      / max(sum(hist.values()), 1), 2)
+            ),
+            "batch_size_hist": hist,
+            "pcm16": bool(args.pcm16),
+            "wall_s": round(wall, 2),
+        }
+        print(json.dumps(payload))
 
 
 if __name__ == "__main__":

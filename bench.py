@@ -383,24 +383,14 @@ def main() -> None:
     # backend's own cost model (scripts/roofline.py holds the analysis;
     # docs/PERF.md the interpretation). Guarded: some PJRT plugins do not
     # implement cost_analysis.
-    sol = {}
-    try:
-        # Cost model for the HEADLINE executable (the bulk batch when it
-        # ran, else B=8). Reuses the already-jitted synth — same traced fn,
-        # so .lower().compile() hits the executable cache. Peaks mirror
-        # scripts/roofline.py's --peak_* defaults (v5e).
-        if bulk:
-            B_sol = bulk["bulk_batch"]
-            sol_ids = jnp.asarray(
-                rng.integers(2, len(pipe.vocab), size=(B_sol, P)), jnp.int32
-            )
-            sol_lens = jnp.full((B_sol,), P, jnp.int32)
-            sol_audio_s = B_sol * T * cfg.audio.hop_length / sr
-            sol_rtf = bulk["bulk_rtf"]
-        else:
-            sol_ids, sol_lens = ids, lengths
-            sol_audio_s = audio_seconds
-            sol_rtf = rtf
+    # Roofline for the HEADLINE executable (bulk when it ran, else B=8),
+    # falling back to the B=8 executable if the bulk-shape cost analysis
+    # fails: lower().compile() does NOT hit the jit executable cache, so
+    # the bulk attempt re-runs the remote compile helper on the exact
+    # module size it sometimes 500s on — a flake there must degrade the
+    # diagnostic to the B=8 bound, not discard it. Peaks mirror
+    # scripts/roofline.py's --peak_* defaults (v5e).
+    def _sol_of(sol_ids, sol_lens, sol_audio_s, sol_rtf):
         ca = (
             synth
             .lower(pipe.params, sol_ids, sol_lens, key, jnp.float32(0))
@@ -409,22 +399,44 @@ def main() -> None:
         )
         if isinstance(ca, list):
             ca = ca[0]
-        fl, by = float(ca.get("flops", 0)), float(ca.get("bytes accessed", 0))
+        fl = float(ca.get("flops", 0))
+        by = float(ca.get("bytes accessed", 0))
         t_sol = max(fl / 197e12, by / 819e9)  # v5e dense-bf16 / HBM peaks
-        if t_sol > 0:
-            sol_rt = sol_audio_s / t_sol
-            sol = {
-                "sol_rt_factor": round(sol_rt, 1),
-                "sol_fraction": round(sol_rtf / sol_rt, 3),
-                "sol_bound": "hbm" if by / 819e9 > fl / 197e12 else "flops",
-            }
-            print(
-                f"bench: roofline — speed of light {sol_rt:.0f}x realtime "
-                f"({sol['sol_bound']}-bound) → running at "
-                f"{100*sol_rtf/sol_rt:.0f}% of light", file=sys.stderr,
-            )
-    except Exception as e:  # noqa: BLE001 — diagnostics must not fail bench
-        print(f"bench: cost_analysis unavailable ({e})", file=sys.stderr)
+        if t_sol <= 0:
+            return {}
+        sol_rt = sol_audio_s / t_sol
+        out = {
+            "sol_rt_factor": round(sol_rt, 1),
+            "sol_fraction": round(sol_rtf / sol_rt, 3),
+            "sol_bound": "hbm" if by / 819e9 > fl / 197e12 else "flops",
+        }
+        print(
+            f"bench: roofline — speed of light {sol_rt:.0f}x realtime "
+            f"({out['sol_bound']}-bound) → running at "
+            f"{100*sol_rtf/sol_rt:.0f}% of light", file=sys.stderr,
+        )
+        return out
+
+    attempts = []
+    if bulk:
+        B_sol = bulk["bulk_batch"]
+        attempts.append((
+            jnp.asarray(
+                rng.integers(2, len(pipe.vocab), size=(B_sol, P)), jnp.int32
+            ),
+            jnp.full((B_sol,), P, jnp.int32),
+            B_sol * T * cfg.audio.hop_length / sr,
+            bulk["bulk_rtf"],
+        ))
+    attempts.append((ids, lengths, audio_seconds, rtf))
+    sol = {}
+    for attempt in attempts:
+        try:
+            sol = _sol_of(*attempt)
+            break
+        except Exception as e:  # noqa: BLE001 — diagnostics must not fail
+            print(f"bench: cost_analysis unavailable for shape "
+                  f"{attempt[0].shape} ({e})", file=sys.stderr)
 
     headline_rtf = bulk.get("bulk_rtf", rtf)
     print(

@@ -68,17 +68,12 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 def _force_done(out) -> None:
-    """Force execution AND completion of a dispatched computation.
+    """Completion barrier for warmup dispatches — see
+    :func:`iris_tts_tpu.utils.tpu.force_done` (block_until_ready is not a
+    barrier on tunneled backends)."""
+    from iris_tts_tpu.utils.tpu import force_done
 
-    ``jax.block_until_ready`` returns before the computation finishes on
-    tunneled PJRT backends (observed on axon), so a warmup that "blocks"
-    with it returns while the device still grinds through the queued
-    executions — and the first live requests then stall minutes behind the
-    backlog (measured: serving p95 of 313 s right after a "finished"
-    warmup). Fetching any output to the host is the only reliable barrier;
-    the smallest leaf keeps the transfer negligible."""
-    leaves = jax.tree_util.tree_leaves(out)
-    np.asarray(min(leaves, key=lambda a: a.size))
+    force_done(out)
 
 
 def mel_time_major(mel, n_mels: int):

@@ -65,8 +65,19 @@ def _use_native(impl: Optional[str]) -> bool:
 _CONVT_IMPL = os.environ.get("IRIS_CONVT_IMPL") or None
 
 
+_CONVT_IMPLS = ("native", "matmul", "pair")
+
+
 def _convt_impl(impl: Optional[str]) -> str:
-    return impl or _CONVT_IMPL or _IMPL
+    mode = impl or _CONVT_IMPL or _IMPL
+    if mode not in _CONVT_IMPLS:
+        # A typo'd IRIS_CONVT_IMPL silently falling through to a different
+        # formulation would invalidate the e2e A/B this knob exists for.
+        raise ValueError(
+            f"unknown conv-transpose impl {mode!r} "
+            f"(IRIS_CONVT_IMPL/impl must be one of {_CONVT_IMPLS})"
+        )
+    return mode
 
 
 def _precision(x) -> Optional[jax.lax.Precision]:
@@ -320,9 +331,13 @@ def _conv_transpose1d_pair(
         wm = jnp.concatenate([kernel[row] for _, row in members], axis=1)
         start = base + (m_max - 1)
         xs = jax.lax.slice_in_dim(xp, start, start + t, axis=1)
+        # f32 accumulation ALWAYS (not _conv_pet): the cross-group and
+        # cross-tap partial sums round once per add in bf16 otherwise,
+        # while the matmul/native impls keep the K-tap sum in f32 — an
+        # A/B knob must change scheduling, never numerics.
         yy = jnp.einsum(
             "btc,cd->btd", xs, wm,
-            preferred_element_type=_conv_pet(x),
+            preferred_element_type=jnp.float32,
             precision=_precision(x),
         )
         for i, (c, _) in enumerate(members):
@@ -330,7 +345,7 @@ def _conv_transpose1d_pair(
             phase_acc[c] = (
                 part if phase_acc[c] is None else phase_acc[c] + part
             )
-    zero = jnp.zeros((b, t, cout), _conv_pet(x) or x.dtype)
+    zero = jnp.zeros((b, t, cout), jnp.float32)
     y = jnp.stack(
         [p if p is not None else zero for p in phase_acc], axis=2
     ).reshape(b, t * u, cout)

@@ -1,4 +1,4 @@
-"""Device acquisition with retry.
+"""Device acquisition with retry, plus the tunnel-safe completion barrier.
 
 Single-tenant TPU attachments (including tunneled dev chips) can refuse new
 process claims for a while after another process exits; serving entry points
@@ -78,3 +78,25 @@ def wait_for_devices(
             time.sleep(delay)
             delay = min(delay * 1.5, 30.0)
             _try_reregister_plugin()
+
+
+def force_done(out) -> None:
+    """Force execution AND completion of a dispatched computation.
+
+    ``jax.block_until_ready`` returns before the computation finishes on
+    tunneled PJRT backends (observed on axon), so any readiness barrier or
+    timing that trusts it is wrong there — a warmup that "blocked" with it
+    reported done while the device still ground through the queued
+    executions, and the first live serving requests stalled minutes behind
+    the backlog (measured: closed-loop p95 of 313 s right after a
+    "finished" warmup). Fetching any output to the host is the only
+    reliable barrier; the smallest leaf keeps the transfer negligible.
+
+    This is the ONE canonical barrier — scripts/common.sync delegates here.
+    """
+    import jax
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        np.asarray(min(leaves, key=lambda a: getattr(a, "size", 1)))

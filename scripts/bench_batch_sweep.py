@@ -92,7 +92,7 @@ def main() -> None:
         # Marginal efficiency: 1.0 = perfect linear scaling from the
         # previous batch point, 0.0 = no gain (HBM/dispatch saturated).
         eff = None
-        if prev_fps is not None:
+        if prev_fps is not None and b != prev_b:
             eff = round(
                 (fps / prev_fps - 1.0) / (b / prev_b - 1.0), 3
             )

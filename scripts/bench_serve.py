@@ -180,10 +180,24 @@ def main() -> None:
     ap.add_argument("--requests", type=int, default=8,
                     help="requests per client (closed loop) or total "
                     "requests (open loop)")
-    ap.add_argument("--offered_qps", type=str, default=None,
-                    help="open-loop Poisson arrival rate (in-process "
-                    "only); a comma list sweeps rates in one process so "
-                    "the warmup cost is paid once")
+    def _rates(text):
+        # Validate at argparse time: a typo'd rate must not crash AFTER
+        # minutes of model init + warmup, and rate <= 0 has no open-loop
+        # meaning (1/rate is the Poisson mean gap).
+        try:
+            rates = [float(x) for x in text.split(",")]
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"not a comma list of numbers: {text!r}")
+        if any(r <= 0 for r in rates):
+            raise argparse.ArgumentTypeError(
+                f"rates must be > 0 req/s: {text!r}")
+        return rates
+
+    ap.add_argument("--offered_qps", type=_rates, default=None,
+                    help="open-loop Poisson arrival rate in req/s, > 0 "
+                    "(in-process only); a comma list sweeps rates in one "
+                    "process so the warmup cost is paid once")
     ap.add_argument("--http", action="store_true",
                     help="drive the real HTTP server over localhost")
     ap.add_argument("--pcm16", action="store_true",
@@ -214,10 +228,7 @@ def main() -> None:
     if args.offered_qps and args.http:
         ap.error("--offered_qps is in-process only (no --http)")
 
-    offered_rates = (
-        [float(x) for x in args.offered_qps.split(",")]
-        if args.offered_qps else []
-    )
+    offered_rates = args.offered_qps or []
     mode = "open" if offered_rates else "closed"
     transport = "http" if args.http else "inproc"
 

@@ -76,16 +76,12 @@ def persist_config(cfg: IrisConfig, output_dir: str | Path, name: str) -> None:
 
 
 def sync(out) -> None:
-    """Force execution AND completion of a device computation.
+    """Force execution AND completion of a device computation (tunneled
+    backends: ``block_until_ready`` is not a barrier). Delegates to the
+    one canonical barrier, :func:`iris_tts_tpu.utils.tpu.force_done`."""
+    from iris_tts_tpu.utils.tpu import force_done
 
-    On the tunneled axon backend ``block_until_ready`` returns before the
-    computation finishes, so honest timing must fetch (a scalar of) the
-    result to the host; the reduction keeps the transfer negligible.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+    force_done(out)
 
 
 def avg_ms(fn, args_cycle, n: int = 30) -> float:

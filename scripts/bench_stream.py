@@ -7,8 +7,10 @@ otherwise), for a long mel:
   * streaming total wall time across all chunks (the per-chunk dispatch
     round trips are the price of the O(chunk) memory bound).
 
-The streaming output is bit-identical to the full pass by construction
-(tests/test_stream_vocode.py); this script quantifies the latency trade.
+The streaming output is sample-exact vs the full pass by construction —
+bit-identical on CPU, float-ulp on TPU where the two executable shapes
+order reductions differently (tests/test_stream_vocode.py); the run
+asserts that and quantifies the latency trade.
 
 Usage: PYTHONPATH=. python scripts/bench_stream.py \
            [--frames 2048] [--chunk 256] [--pcm16]
@@ -69,7 +71,16 @@ def main():
     want = pipe.vocode(mel)
     if args.pcm16:
         want = (np.clip(want, -1.0, 1.0) * 32767.0).astype(np.int16)
-    exact = bool(np.array_equal(audio, want))
+        # Window vs full executables may differ by float ulp on TPU
+        # backends; after quantization that is at most 1 LSB.
+        err = np.abs(audio.astype(np.int32) - want.astype(np.int32)).max()
+        ok = err <= 1
+        verdict = f"max |Δ| = {err} LSB"
+    else:
+        err = float(np.abs(audio - want).max())
+        scale = float(np.abs(want).max()) or 1.0
+        ok = err <= 1e-5 * scale  # same policy as tests: ulp, not O(peak)
+        verdict = f"max |Δ| = {err:.2e} (peak {scale:.2e})"
 
     print(
         f"{secs:.1f}s audio ({args.frames} frames, chunk {args.chunk}"
@@ -77,9 +88,9 @@ def main():
         f"full pass {full_ms:.1f} ms ({1000*secs/full_ms:.0f}x RT) | "
         f"stream TTFA {ttfa_ms:.1f} ms, total {total_ms:.1f} ms "
         f"({1000*secs/total_ms:.0f}x RT, {len(chunks)} chunks) | "
-        f"bit-exact: {exact}"
+        f"sample-exact: {verdict}"
     )
-    if not exact:
+    if not ok:
         sys.exit(1)
 
 

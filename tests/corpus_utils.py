@@ -63,3 +63,32 @@ item []:
         )
     (root / "metadata.csv").write_text("\n".join(meta))
     return root, align_dir
+
+
+def assert_audio_equal(got, want, lsb: int = 1) -> None:
+    """Waveform equality across two differently-shaped executables.
+
+    On CPU the XLA executables for a full pass and a windowed pass produce
+    bit-identical samples, so equality is exact. On accelerator backends a
+    different executable shape may legally order float reductions
+    differently (measured on the v5e tunnel backend: max-abs 5.5e-12 on a
+    2.1e-5-scale waveform, ~3e-7 relative), so float audio is compared at
+    1e-5 of the reference peak — still orders of magnitude below any real
+    windowing/alignment bug, which shows up at O(peak) — and int16 audio
+    may differ by ``lsb`` quantization steps where the underlying float
+    sat on a rounding boundary.
+    """
+    import jax
+
+    got = np.asarray(got)
+    want = np.asarray(want)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert got.dtype == want.dtype, (got.dtype, want.dtype)
+    if jax.default_backend() == "cpu":
+        np.testing.assert_array_equal(got, want)
+    elif got.dtype == np.int16:
+        diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= lsb, f"int16 audio off by {diff.max()} LSB"
+    else:
+        scale = float(np.max(np.abs(want))) or 1.0
+        np.testing.assert_allclose(got, want, rtol=0.0, atol=1e-5 * scale)

@@ -282,11 +282,13 @@ def test_aot_vocode_streaming_matches_live(pipeline, aot_dir_vocwin):
         size=(70, pipeline.config.hifigan.in_channels),
     ).astype(np.float32)
     got = np.concatenate(list(aot.vocode_streaming(mel)))
-    np.testing.assert_array_equal(got, pipeline.vocode(mel))
+    from tests.corpus_utils import assert_audio_equal
+
+    assert_audio_equal(got, pipeline.vocode(mel))
     # PCM16 variant quantizes the same samples.
     pcm = np.concatenate(list(aot.vocode_streaming(mel, pcm16=True)))
     assert pcm.dtype == np.int16
-    np.testing.assert_array_equal(
+    assert_audio_equal(
         pcm,
         (np.clip(got, -1.0, 1.0) * 32767.0).astype(np.int16),
     )

@@ -389,7 +389,9 @@ def test_stream_vocode_chunked(pipeline):
     assert len(sentences) == len(chunks)
     # Chunk 1's audio == vocode of its mel at the stream's derived seed.
     mel = pipeline.synthesize_mel(chunks[1], seed=8)
-    np.testing.assert_array_equal(sentences[1], pipeline.vocode(mel))
+    from tests.corpus_utils import assert_audio_equal
+
+    assert_audio_equal(sentences[1], pipeline.vocode(mel))
 
 
 def test_warmup_batched_precompiles_every_reachable_executable():

@@ -13,6 +13,7 @@ import pytest
 from iris_tts_tpu.config import HiFiGANConfig
 from iris_tts_tpu.models.hifigan import receptive_radius_frames
 
+from tests.corpus_utils import assert_audio_equal
 from tests.test_pipeline import _small_config
 
 
@@ -48,7 +49,7 @@ def test_streaming_equals_full(pipeline):
     chunks = list(pipeline.vocode_streaming(mel, chunk_frames=16))
     # 70 = 4*16 + 6: last chunk is the remainder.
     assert [len(c) for c in chunks] == [128, 128, 128, 128, 48]
-    np.testing.assert_array_equal(np.concatenate(chunks), full)
+    assert_audio_equal(np.concatenate(chunks), full)
 
 
 def test_streaming_unaligned_and_chunk1(pipeline):
@@ -57,7 +58,7 @@ def test_streaming_unaligned_and_chunk1(pipeline):
     out = np.concatenate(
         list(pipeline.vocode_streaming(mel, chunk_frames=7))
     )
-    np.testing.assert_array_equal(out, full)
+    assert_audio_equal(out, full)
 
 
 def test_streaming_short_mel_single_dispatch(pipeline):
@@ -65,7 +66,7 @@ def test_streaming_short_mel_single_dispatch(pipeline):
     mel = _mel(pipeline, 12, seed=2)
     chunks = list(pipeline.vocode_streaming(mel, chunk_frames=16))
     assert len(chunks) == 1
-    np.testing.assert_array_equal(chunks[0], pipeline.vocode(mel))
+    assert_audio_equal(chunks[0], pipeline.vocode(mel))
 
 
 def test_streaming_pcm16(pipeline):
@@ -76,7 +77,7 @@ def test_streaming_pcm16(pipeline):
     )
     assert i16.dtype == np.int16
     expect = (np.clip(f32, -1.0, 1.0) * 32767.0).astype(np.int16)
-    np.testing.assert_array_equal(i16, expect)
+    assert_audio_equal(i16, expect)
 
 
 def test_streaming_reference_layout_in(pipeline):
@@ -84,7 +85,7 @@ def test_streaming_reference_layout_in(pipeline):
     out = np.concatenate(
         list(pipeline.vocode_streaming(mel.T, chunk_frames=16))
     )
-    np.testing.assert_array_equal(out, pipeline.vocode(mel))
+    assert_audio_equal(out, pipeline.vocode(mel))
 
 
 def test_streaming_one_executable(pipeline):

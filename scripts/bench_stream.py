@@ -79,7 +79,16 @@ def main():
     else:
         err = float(np.abs(audio - want).max())
         scale = float(np.abs(want).max()) or 1.0
-        ok = err <= 1e-5 * scale  # same policy as tests: ulp, not O(peak)
+        # Same policy as tests/corpus_utils.assert_audio_equal: CPU
+        # executables are bit-identical, so keep exact equality there;
+        # accelerator backends may reorder float reductions between the
+        # window and full executables, so compare at 1e-5 of peak.
+        import jax
+
+        if jax.default_backend() == "cpu":
+            ok = err == 0.0
+        else:
+            ok = err <= 1e-5 * scale
         verdict = f"max |Δ| = {err:.2e} (peak {scale:.2e})"
 
     print(

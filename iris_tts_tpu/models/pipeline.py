@@ -127,6 +127,14 @@ class TTSPipeline:
     # (LJSpeech averages ~6-7 mel frames per phoneme; 12 leaves headroom —
     # rare overflows compress durations proportionally instead of truncating).
     fused_frames_per_phoneme: int = 12
+    # Quality guard on that compression: a fused row whose predicted frames
+    # exceed the budget by more than this FRACTION of the prediction is
+    # transparently re-synthesized on the two-stage bucketed path (true
+    # durations, no compression) instead of shipping rate-distorted speech.
+    # Small overflows (≤ tolerance) still compress — inaudible and cheaper
+    # than a second dispatch. None disables the fallback (observability
+    # counters still fire).
+    fused_overflow_tolerance: Optional[float] = 0.1
     # Length regulator: "hard" (searchsorted gather, the reference contract)
     # or "gaussian" (soft Gaussian upsampling — smooths phoneme boundaries in
     # the frame conditioning; new functionality, ops/length.py).
@@ -180,6 +188,7 @@ class TTSPipeline:
         # compression applied). Read by DynamicBatcher.stats().
         self.fused_overflow_count = 0
         self.fused_overflow_frames = 0  # total frames compressed away
+        self.fused_fallback_count = 0  # rows redone on the two-stage path
         self._overflow_log_t = 0.0
         # Frontend memo: text → phoneme ids. Serving traffic repeats
         # phrases (and every call pays G2P/lexicon lookups otherwise);
@@ -369,15 +378,27 @@ class TTSPipeline:
     # deployment artifacts
     # ------------------------------------------------------------------
 
-    def save(self, path: str | Path) -> None:
+    def save(self, path: str | Path, half: bool = False) -> None:
         """Export the assembled pipeline (params + config + vocab) as one
-        deployable directory."""
+        deployable directory.
+
+        ``half=True`` stores parameters as float16 (half the artifact
+        size; weights round to ~1e-4 relative — far below training noise).
+        :meth:`load` casts back to float32 transparently."""
         from iris_tts_tpu.config import save_config
         from iris_tts_tpu.train.checkpoint import save_params
 
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        save_params(path / "params", self.params)
+        params = self.params
+        if half:
+            params = jax.tree_util.tree_map(
+                lambda x: np.asarray(x).astype(np.float16)
+                if np.issubdtype(np.asarray(x).dtype, np.floating)
+                else np.asarray(x),
+                params,
+            )
+        save_params(path / "params", params)
         save_config(self.config, path / "config.json")
         self.vocab.save(path / "vocab.json")
         (path / "meta.json").write_text(
@@ -385,10 +406,12 @@ class TTSPipeline:
                 "use_postnet": self.use_postnet,
                 "seed": self.seed,
                 "upsample": self.upsample,
+                "params_dtype": "float16" if half else "float32",
                 # Tuned serving knobs: dropping these on reload would
                 # silently revert an operator's overflow-budget/bucket
                 # tuning (and change the jit-cache key set).
                 "fused_frames_per_phoneme": self.fused_frames_per_phoneme,
+                "fused_overflow_tolerance": self.fused_overflow_tolerance,
                 "phoneme_buckets": list(self.phoneme_buckets),
                 "frame_buckets": list(self.frame_buckets),
             })
@@ -424,11 +447,35 @@ class TTSPipeline:
         pipe.fused_frames_per_phoneme = int(meta.get(
             "fused_frames_per_phoneme", pipe.fused_frames_per_phoneme
         ))
+        if "fused_overflow_tolerance" in meta:
+            tol = meta["fused_overflow_tolerance"]
+            pipe.fused_overflow_tolerance = (
+                None if tol is None else float(tol)
+            )
         if "phoneme_buckets" in meta:
             pipe.phoneme_buckets = tuple(meta["phoneme_buckets"])
         if "frame_buckets" in meta:
             pipe.frame_buckets = tuple(meta["frame_buckets"])
-        pipe.params = load_params(path / "params", template=pipe.params)
+        if meta.get("params_dtype") == "float16":
+            # Half-precision artifact: restore as saved, cast back to f32,
+            # and verify the tree matches the architecture before adopting.
+            raw = load_params(path / "params")
+            raw = jax.tree_util.tree_map(
+                lambda x: np.asarray(x).astype(np.float32)
+                if np.issubdtype(np.asarray(x).dtype, np.floating)
+                else np.asarray(x),
+                raw,
+            )
+            want = jax.tree_util.tree_structure(pipe.params)
+            got = jax.tree_util.tree_structure(raw)
+            if want != got:
+                raise ValueError(
+                    f"half-precision artifact tree does not match the "
+                    f"config architecture: {got} vs {want}"
+                )
+            pipe.params = raw
+        else:
+            pipe.params = load_params(path / "params", template=pipe.params)
         return pipe
 
     # ------------------------------------------------------------------
@@ -938,13 +985,14 @@ class TTSPipeline:
         if fused is None:
             fused = len(texts) == 1
 
+        seed_dev = self._next_seed(seed)
         if fused:
             ids_np, lengths = self._encode_texts(texts)
             t_bucket = self._fused_frame_budget(lengths)
             ids_dev, lengths_dev, _ = self._device_batch(ids_np, lengths)
             audio, mel, n_frames_arr, deficit = self._fused(
                 self.params, ids_dev, lengths_dev,
-                self._next_seed(seed), total_frames=t_bucket,
+                seed_dev, total_frames=t_bucket,
                 temperature=temperature, use_postnet=self.use_postnet,
                 upsample=self.upsample,
                 pcm16=pcm16,
@@ -952,7 +1000,7 @@ class TTSPipeline:
         else:
             enc, frames, t_bucket = self._run_stage_a(texts)
             audio, mel, n_frames_arr = self._stage_b(
-                self.params, enc, frames, self._next_seed(seed),
+                self.params, enc, frames, seed_dev,
                 total_frames=t_bucket, temperature=temperature,
                 use_postnet=self.use_postnet, upsample=self.upsample,
                 pcm16=pcm16,
@@ -983,12 +1031,77 @@ class TTSPipeline:
             a[: int(n) * hop]
             for a, n in zip(audio_np[: len(texts)], n_frames)
         ]
+        mels = (
+            [m[: int(n)] for m, n in zip(mel_np[: len(texts)], n_frames)]
+            if return_mel else None
+        )
+        if deficit is not None:
+            # Quality guard (fused_overflow_tolerance): rows compressed
+            # beyond the tolerated fraction of their PREDICTED frames are
+            # redone on the two-stage path with true durations — the fused
+            # path never ships speech faster than the tolerance.
+            redo = self._overflow_fallback_rows(
+                fetched[-1][: len(texts)], t_bucket
+            )
+            if redo:
+                r_outs, r_mels = self._two_stage_rows(
+                    [texts[i] for i in redo], seed_dev, temperature,
+                    pcm16, return_mel,
+                )
+                for j, i in enumerate(redo):
+                    outs[i] = r_outs[j]
+                    if mels is not None:
+                        mels[i] = r_mels[j]
         if return_mel:
-            mels = [
-                m[: int(n)] for m, n in zip(mel_np[: len(texts)], n_frames)
-            ]
             return (outs[0], mels[0]) if single else (outs, mels)
         return outs[0] if single else outs
+
+    def _overflow_fallback_rows(self, deficit: np.ndarray,
+                                t_bucket: int) -> list:
+        """Row indices whose fused-path compression exceeded the tolerance:
+        ``deficit`` is predicted − budget (≥ 0), so the compressed-away
+        fraction of the prediction is deficit / (deficit + budget)."""
+        tol = self.fused_overflow_tolerance
+        if tol is None:
+            return []
+        deficit = np.asarray(deficit, np.int64)
+        frac = deficit / np.maximum(deficit + t_bucket, 1)
+        rows = np.nonzero(frac > tol)[0].tolist()
+        if rows:
+            self.fused_fallback_count += len(rows)
+            logger.info(
+                "fused overflow beyond tolerance (%.0f%%) on %d row(s); "
+                "re-synthesized on the two-stage path (%d fallbacks total)",
+                100 * tol, len(rows), self.fused_fallback_count,
+            )
+        return rows
+
+    def _two_stage_rows(self, texts, seed_dev, temperature, pcm16,
+                        return_mel):
+        """Two-stage synthesis of a row subset (the overflow-guard redo
+        path): returns (audio rows, mel rows or None) trimmed to true
+        lengths."""
+        enc, frames, t_bucket = self._run_stage_a(texts)
+        audio, mel, n_arr = self._stage_b(
+            self.params, enc, frames, seed_dev,
+            total_frames=t_bucket, temperature=temperature,
+            use_postnet=self.use_postnet, upsample=self.upsample,
+            pcm16=pcm16,
+        )
+        fetch = (audio, n_arr, mel) if return_mel else (audio, n_arr)
+        got = jax.device_get(fetch)
+        hop = self.config.hifigan.total_upsample
+        n_frames = got[1].astype(np.int64)
+        audio_np = np.asarray(got[0], np.int16 if pcm16 else np.float32)
+        outs = [
+            a[: int(n) * hop]
+            for a, n in zip(audio_np[: len(texts)], n_frames)
+        ]
+        mels = (
+            [m[: int(n)] for m, n in zip(got[2][: len(texts)], n_frames)]
+            if return_mel else None
+        )
+        return outs, mels
 
     def _batched_dispatch(
         self,

@@ -277,10 +277,12 @@ class TTSServer:
                  max_batch: int = 8, max_wait_ms: float = 5.0,
                  request_timeout_s: float = 600.0,
                  pcm16_transfer: bool = False,
-                 max_queue: int = 256):
+                 max_queue: int = 256,
+                 max_batch_limit: int | None = None):
         self.batcher = DynamicBatcher(
             pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms,
             pcm16_transfer=pcm16_transfer, max_queue=max_queue,
+            max_batch_limit=max_batch_limit,
         )
         handler = type("BoundHandler", (_Handler,), {
             "batcher": self.batcher,
@@ -322,13 +324,15 @@ def serve_forever(pipeline, host: str = "0.0.0.0", port: int = 8080,
                   max_batch: int = 8, max_wait_ms: float = 5.0,
                   request_timeout_s: float = 600.0,
                   pcm16_transfer: bool = False,
-                  max_queue: int = 256) -> None:
+                  max_queue: int = 256,
+                  max_batch_limit: int | None = None) -> None:
     """Blocking entry point for CLI use (scripts/serve.py)."""
     server = TTSServer(pipeline, host=host, port=port, max_batch=max_batch,
                        max_wait_ms=max_wait_ms,
                        request_timeout_s=request_timeout_s,
                        pcm16_transfer=pcm16_transfer,
-                       max_queue=max_queue)
+                       max_queue=max_queue,
+                       max_batch_limit=max_batch_limit)
     server.batcher.start()
     logger.info("serving on %s:%d", *server.httpd.server_address[:2])
     try:

@@ -204,6 +204,9 @@ def main() -> None:
                     help="device-side PCM16 transfer (serving default in "
                     "scripts/serve.py; halves fetch bytes)")
     ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--max_batch_limit", type=int, default=None,
+                    help="adaptive batch growth ceiling (default: no "
+                    "growth)")
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--max_queue", type=int, default=256)
     ap.add_argument("--timeout_s", type=float, default=600.0)
@@ -238,6 +241,7 @@ def main() -> None:
             max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
             pcm16_transfer=args.pcm16,
             request_timeout_s=args.timeout_s,
+            max_batch_limit=args.max_batch_limit,
         ).start()
         host, port = server.address[:2]
         batcher = server.batcher
@@ -245,6 +249,7 @@ def main() -> None:
         batcher = DynamicBatcher(
             pipe, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
             max_queue=args.max_queue, pcm16_transfer=args.pcm16,
+            max_batch_limit=args.max_batch_limit,
         ).start()
         server = None
 

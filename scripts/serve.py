@@ -46,7 +46,14 @@ def main() -> None:
                         help="IrisConfig JSON for --random_weights mode")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8080)
-    parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--max_batch", type=int, default=8,
+                        help="dispatch cap under light load")
+    parser.add_argument("--max_batch_limit", type=int, default=64,
+                        help="adaptive growth ceiling: sustained queue "
+                        "depth doubles the effective batch from "
+                        "--max_batch toward this (bulk throughput at "
+                        "B=64-128 is ~2x the B=8 point); set equal to "
+                        "--max_batch to disable growth")
     parser.add_argument("--max_wait_ms", type=float, default=5.0)
     parser.add_argument("--request_timeout_s", type=float, default=600.0)
     parser.add_argument("--max_queue", type=int, default=256,
@@ -81,6 +88,8 @@ def main() -> None:
                 args.max_batch, max(pipe.batch_buckets),
             )
             args.max_batch = max(pipe.batch_buckets)
+        if args.max_batch_limit > max(pipe.batch_buckets):
+            args.max_batch_limit = max(pipe.batch_buckets)
         # Backend-compile the pre-lowered executables before traffic.
         # Progressive (default): the smallest bucket compiles synchronously
         # and the server opens; the rest compile on a background thread.
@@ -115,11 +124,14 @@ def main() -> None:
         # bucket combination traffic can reach — stage B is keyed on the
         # phoneme bucket too (the encoder output rides into it), so text
         # probes would leave most combinations cold.
+        # ... up to the adaptive growth LIMIT: the first grown dispatch
+        # must not pay a live compile either.
+        top = max(args.max_batch, args.max_batch_limit)
         batch_buckets, b = [], 1
-        while b < args.max_batch:
+        while b < top:
             batch_buckets.append(b)
             b *= 2
-        batch_buckets.append(args.max_batch)
+        batch_buckets.append(top)
         n_batched = pipe.warmup_batched(batch_buckets, pcm16=pcm16)
         logger.info("batched path: %d executables compiled", n_batched)
         logger.info("warmup done in %.1fs (live-jit path)",
@@ -130,7 +142,8 @@ def main() -> None:
                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
                   request_timeout_s=args.request_timeout_s,
                   pcm16_transfer=not args.float_transfer,
-                  max_queue=args.max_queue)
+                  max_queue=args.max_queue,
+                  max_batch_limit=args.max_batch_limit)
 
 
 if __name__ == "__main__":

@@ -117,9 +117,12 @@ def test_warmup_fused_covers_every_bucket_pair(pipeline):
 
 def test_fused_overflow_compresses_durations(pipeline):
     """When predicted frames exceed the fused budget, durations scale down
-    proportionally (speech-rate compression) instead of truncating audio."""
+    proportionally (speech-rate compression) instead of truncating audio.
+    (Guard disabled here — compression itself is under test; the fallback
+    has its own test below.)"""
     pipe2 = dataclasses.replace(
-        pipeline, frame_buckets=(8,), fused_frames_per_phoneme=1
+        pipeline, frame_buckets=(8,), fused_frames_per_phoneme=1,
+        fused_overflow_tolerance=None,
     )
     audio, mel = pipe2.synthesize(
         "hello world how are you", seed=0, return_mel=True
@@ -139,6 +142,43 @@ def test_fused_overflow_compresses_durations(pipeline):
     pipe3 = dataclasses.replace(pipeline, fused_frames_per_phoneme=12)
     pipe3.synthesize("hello world", seed=0)
     assert pipe3.fused_overflow_count == 0
+
+
+def test_fused_overflow_guard_falls_back_to_two_stage(pipeline):
+    """Quality guard (VERDICT r3 item 6): a fused row compressed beyond
+    ``fused_overflow_tolerance`` is transparently re-synthesized on the
+    two-stage path — identical samples to calling fused=False directly, so
+    no silent rate distortion beyond the threshold can ship."""
+    text = "hello world how are you"
+    # Pin the fused budget to 8 frames (an operator-mistuned budget): the
+    # ~19-phoneme prediction (>=1 frame each) must overflow it hard, while
+    # the 64 bucket is where the two-stage fallback lands.
+    pipe2 = dataclasses.replace(
+        pipeline, frame_buckets=(8, 64), fused_frames_per_phoneme=1,
+        fused_overflow_tolerance=0.1,
+    )
+    pipe2._fused_frame_budget = lambda lengths: 8
+    audio = pipe2.synthesize(text, seed=3)
+    want = pipe2.synthesize(text, seed=3, fused=False)
+    np.testing.assert_array_equal(audio, want)
+    assert len(audio) > 8 * pipe2.config.hifigan.total_upsample
+    assert pipe2.fused_overflow_count >= 1
+    assert pipe2.fused_fallback_count == 1
+    # return_mel rides the fallback too
+    audio2, mel2 = pipe2.synthesize(text, seed=3, return_mel=True)
+    np.testing.assert_array_equal(audio2, want)
+    assert mel2.shape[0] * pipe2.config.hifigan.total_upsample == len(want)
+    # A compression inside the tolerance ships compressed (no fallback
+    # dispatch): with tolerance ~1 the same overflow stays fused.
+    pipe3 = dataclasses.replace(
+        pipeline, frame_buckets=(8, 64), fused_frames_per_phoneme=1,
+        fused_overflow_tolerance=0.95,
+    )
+    pipe3._fused_frame_budget = lambda lengths: 8
+    a3 = pipe3.synthesize(text, seed=3)
+    assert pipe3.fused_fallback_count == 0
+    assert pipe3.fused_overflow_count == 1
+    assert len(a3) == 8 * pipe3.config.hifigan.total_upsample
 
 
 def test_bfloat16_parity_with_float32(pipeline):

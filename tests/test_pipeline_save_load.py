@@ -64,3 +64,35 @@ def test_save_load_persists_tuned_serving_knobs(tmp_path):
     assert loaded.fused_frames_per_phoneme == 21
     assert loaded.phoneme_buckets == (16, 32)
     assert loaded.frame_buckets == (32, 64)
+
+
+def test_save_load_half_precision(tmp_path):
+    """half=True artifacts are ~half the bytes, load back as float32, and
+    synthesize within float16 rounding of the full-precision pipeline."""
+    pipe = TTSPipeline.initialize(_cfg(), seed=7)
+    pipe.phoneme_buckets = (16,)
+    pipe.frame_buckets = (32,)
+    want = pipe.synthesize("hello world", seed=3)
+
+    pipe.save(tmp_path / "full")
+    pipe.save(tmp_path / "half", half=True)
+
+    def tree_bytes(d):
+        return sum(p.stat().st_size for p in d.rglob("*") if p.is_file())
+
+    assert tree_bytes(tmp_path / "half") < 0.7 * tree_bytes(tmp_path / "full")
+
+    again = TTSPipeline.load(tmp_path / "half")
+    again.phoneme_buckets = (16,)
+    again.frame_buckets = (32,)
+    import jax
+
+    assert all(
+        np.asarray(x).dtype == np.float32
+        for x in jax.tree_util.tree_leaves(again.params)
+    )
+    got = again.synthesize("hello world", seed=3)
+    assert got.shape == want.shape
+    # float16 weight rounding: tiny waveform perturbation, same audio
+    scale = float(np.abs(want).max()) or 1.0
+    assert float(np.abs(got - want).max()) < 0.02 * scale

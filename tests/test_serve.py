@@ -563,3 +563,32 @@ def test_server_stop_before_start_does_not_hang(pipeline):
     t = threading.Thread(target=stop, daemon=True)
     t.start()
     assert done.wait(timeout=30), "stop() deadlocked without start()"
+
+
+def test_adaptive_batch_grows_under_queue_depth_and_decays(pipeline):
+    """VERDICT r3 item 3: sustained queue depth doubles the effective
+    dispatch cap toward max_batch_limit; light traffic decays it back."""
+    b = DynamicBatcher(pipeline, max_batch=2, max_batch_limit=8,
+                       max_wait_ms=50.0)
+    assert b._batch_buckets[-1] == 8
+    # Queue 12 requests BEFORE starting: the first collect fills the
+    # 2-cap with 10 still queued -> grow to 4, then to 8.
+    futs = [b.submit(f"queued utterance {i}") for i in range(12)]
+    with b:
+        for f in futs:
+            f.result(timeout=600)
+        assert b._eff_batch > 2, b.stats()
+        assert b.stats()["effective_batch"] == b._eff_batch
+        grown = b._eff_batch
+        # A few lone requests decay the cap back toward max_batch.
+        for i in range(4):
+            b.synthesize(f"lone request {i}", timeout=600)
+        assert b._eff_batch < grown
+    hist = b.stats()["batch_size_hist"]
+    assert max(hist) > 2, hist  # at least one grown dispatch happened
+
+
+def test_adaptive_batch_disabled_by_default(pipeline):
+    b = DynamicBatcher(pipeline, max_batch=4, max_wait_ms=1.0)
+    assert b._max_batch_limit == 4
+    assert b._batch_buckets == [1, 2, 4]

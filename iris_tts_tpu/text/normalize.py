@@ -69,7 +69,7 @@ _RE_ROMAN_CARDINAL = re.compile(
     rf"\b(?i:({_ROMAN_CARDINAL_CONTEXT}))\s+([IVXLCDM]{{1,8}})(?=\W|$)"
 )
 _RE_ROMAN_REGNAL = re.compile(
-    r"\b([A-Z][a-z]{2,})\s+([IVXLCDM]{2,8})(?=\W|$)"
+    r"\b([A-Z][a-z]{2,})\s+([IVXLCDM]{2,8}|[IV])(?=\W|$)"
 )
 # Capitalized sentence-position words that precede acronyms like IV/XL/VI
 # without naming a monarch ("The IV drip", "His XL shirt").
@@ -118,7 +118,15 @@ def _expand_romans(text: str) -> str:
     def regnal(m: re.Match) -> str:
         if m.group(1).lower() in _REGNAL_STOPWORDS:
             return m.group(0)  # "The IV drip" — not a monarch
-        n = roman_to_int(m.group(2))
+        numeral = m.group(2)
+        # Single-letter numerals after a name: "Henry V" / "Elizabeth I"
+        # are regnal, but a bare "I" continuing into more words is almost
+        # always the pronoun ("yesterday Mary I met..."), so single "I"
+        # only reads regnal before punctuation/end or "of". Bare "X" never
+        # expands — "Malcolm X" is a name, not the tenth.
+        if numeral == "I" and re.match(r"\s+(?!of\b)\w", m.string[m.end():]):
+            return m.group(0)
+        n = roman_to_int(numeral)
         if n is None or n > 50:  # Henry VIII yes, NASDAQ CM no
             return m.group(0)
         return f"{m.group(1)} the {ordinal_to_words(n)}"

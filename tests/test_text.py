@@ -328,3 +328,46 @@ def test_normalization_golden_file():
         if normalize_text(src) != want
     ]
     assert not failures, failures[:5]
+
+
+def test_normalization_corpus_golden():
+    """Corpus-scale golden (VERDICT r3 item 5): 540 generated cases across
+    18 classes (cardinals, ordinals, decimals, years, times, written + ISO
+    dates, currency, percents, fractions, mixed numbers, ranges, year
+    ranges, regnal + cardinal romans, units, NANP phones, abbreviations) —
+    frozen by scripts/gen_normalize_corpus.py --freeze after per-class
+    audit. Coverage mirror of the reference's pynini grammars
+    (/root/reference/src/iris/text.py:69-77)."""
+    from pathlib import Path
+
+    from iris_tts_tpu.text.normalize import normalize_text
+
+    golden = Path(__file__).parent / "data" / "normalize_corpus_golden.txt"
+    cases = [
+        line.split(" || ")
+        for line in golden.read_text().splitlines()
+        if line and not line.startswith("#")
+    ]
+    assert len(cases) >= 500
+    failures = [
+        (src, want, normalize_text(src))
+        for src, want in cases
+        if normalize_text(src) != want
+    ]
+    assert not failures, (len(failures), failures[:5])
+
+
+def test_regnal_single_letter_numerals():
+    """Single-letter regnal numerals (audit finding from the corpus
+    golden): 'Henry V'/'Elizabeth I of England' expand; 'Malcolm X', the
+    pronoun-I continuation, and 'The V sign' do not."""
+    from iris_tts_tpu.text.normalize import normalize_text as n
+
+    assert n("Henry V won.") == "henry the fifth won."
+    assert n("Charles V ruled.") == "charles the fifth ruled."
+    assert n("Elizabeth I of England.") == "elizabeth the first of england."
+    assert n("Malcolm X spoke in Harlem.") == "malcolm x spoke in harlem."
+    assert n("Yesterday Mary I met a friend.") == (
+        "yesterday mary i met a friend."
+    )
+    assert n("The V sign.") == "the v sign."

@@ -297,3 +297,72 @@ def test_shipped_checkpoint_quality():
           f"exact={exact / len(sample):.3f}")
     assert per < 0.12  # rule engine measures ~0.23 on its own gate
     assert exact / len(sample) > 0.5
+
+
+def test_oov_differential_golden():
+    """OOV differential set (VERDICT r3 item 8, the g2p_en head-to-head the
+    reference relied on at text.py:186-190): 59 words absent from CMUdict
+    with hand-audited expected ARPABET (tests/data/g2p_oov_golden.txt).
+    Gates word-exact agreement >= 0.85 and phone-level agreement >= 0.93
+    (current model: 57/59 exact; the two curated divergences are encoded
+    as targets, not model echoes). Also reports the rule engine's rate for
+    comparison — the neural model must beat it."""
+    from pathlib import Path
+
+    from iris_tts_tpu.text.lexicon import Lexicon
+    from iris_tts_tpu.text.neural_g2p import NeuralG2P
+
+    if not NeuralG2P.available():
+        import pytest
+
+        pytest.skip("neural G2P checkpoint not available")
+
+    golden_file = Path(__file__).parent / "data" / "g2p_oov_golden.txt"
+    cases = []
+    for line in golden_file.read_text().splitlines():
+        if not line or line.startswith("#"):
+            continue
+        word, phones = line.split(" || ")
+        cases.append((word, phones.split()))
+    assert len(cases) >= 50
+
+    lex = Lexicon()
+    still_oov = [w for w, _ in cases if lex.lookup(w) is None]
+    assert len(still_oov) == len(cases), (
+        "golden words entered the lexicon; regenerate the set"
+    )
+
+    g2p = NeuralG2P()
+    preds = g2p.predict_batch([w for w, _ in cases])
+
+    def phone_agreement(a, b):
+        # simple alignment-free measure: Levenshtein via difflib ratio
+        import difflib
+
+        return difflib.SequenceMatcher(None, a, b).ratio()
+
+    exact = sum(p == want for p, (_, want) in zip(preds, cases))
+    phone = sum(
+        phone_agreement(p, want) for p, (_, want) in zip(preds, cases)
+    ) / len(cases)
+    word_exact = exact / len(cases)
+    misses = [
+        (w, " ".join(want), " ".join(p))
+        for p, (w, want) in zip(preds, cases)
+        if p != want
+    ]
+    print(f"neural G2P OOV agreement: word-exact {word_exact:.3f}, "
+          f"phone {phone:.3f}; misses: {misses}")
+    assert word_exact >= 0.85, misses
+    assert phone >= 0.93
+
+    # rule engine on the same set, for the differential report
+    from iris_tts_tpu.text.g2p import g2p as rule_g2p
+
+    rule_exact = sum(
+        rule_g2p(w) == want for w, want in cases
+    ) / len(cases)
+    print(f"rule engine word-exact on the same set: {rule_exact:.3f}")
+    assert word_exact > rule_exact, (
+        "neural G2P no longer beats the rule engine on the OOV set"
+    )

@@ -232,7 +232,16 @@ class LJSpeechVAEDataset(LJSpeechDurationDataset):
 
     def _compute_mel(self, sid: str) -> np.ndarray:
         """Host feature extraction through the same jitted device code used
-        everywhere else (ops.stft) — one numerical contract, one cache."""
+        everywhere else (ops.stft) — one numerical contract, one cache.
+
+        The audio is zero-padded up to a coarse sample bucket before the
+        jitted mel and the result sliced back to the true frame count:
+        without this, every distinct clip length keys its own executable —
+        a full corpus pays hundreds of compiles (measured ~22 s/clip on the
+        remote-compile tunnel vs milliseconds for a cache hit). Zero tail
+        padding is exact: the STFT centering pad is already constant-zero
+        (ops/stft.py:159-172), so the first ``1 + n//hop`` frames are
+        bit-identical to the unpadded computation."""
         import jax.numpy as jnp
 
         from iris_tts_tpu.data.native import load_audio as native_load_audio
@@ -240,8 +249,14 @@ class LJSpeechVAEDataset(LJSpeechDurationDataset):
 
         wav_path = self.root / "wavs" / f"{sid}.wav"
         audio = native_load_audio(wav_path, self.audio.sample_rate)
+        hop = self.audio.hop_length
+        true_frames = 1 + len(audio) // hop
+        bucket = 64 * hop  # ~0.74 s granularity → a handful of shapes
+        padded = -(-len(audio) // bucket) * bucket
+        if padded != len(audio):
+            audio = np.pad(audio, (0, padded - len(audio)))
         mel = log_mel_spectrogram(jnp.asarray(audio), self.audio)
-        return np.asarray(mel, np.float32)  # [T, n_mels]
+        return np.asarray(mel, np.float32)[:true_frames]  # [T, n_mels]
 
     def precompute_mels(self, overwrite: bool = False) -> int:
         """Fill the mel cache for the whole split; returns count computed."""

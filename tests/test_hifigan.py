@@ -96,71 +96,9 @@ def test_conv_transpose1d_parity(rng, k, u):
 # ---------------------------------------------------------------------------
 
 
-class _TorchResBlock(tnn.Module):
-    def __init__(self, ch, k, dils):
-        super().__init__()
-        self.convs1 = tnn.ModuleList(
-            [
-                _wn(tnn.Conv1d(ch, ch, k, dilation=d, padding=(k * d - d) // 2))
-                for d in dils
-            ]
-        )
-        self.convs2 = tnn.ModuleList(
-            [_wn(tnn.Conv1d(ch, ch, k, padding=(k - 1) // 2)) for _ in dils]
-        )
-
-    def forward(self, x):
-        for c1, c2 in zip(self.convs1, self.convs2):
-            xt = tF.leaky_relu(x, 0.1)
-            xt = c1(xt)
-            xt = tF.leaky_relu(xt, 0.1)
-            xt = c2(xt)
-            x = xt + x
-        return x
-
-
-class _TorchGenerator(tnn.Module):
-    def __init__(self, cfg: HiFiGANConfig):
-        super().__init__()
-        self.cfg = cfg
-        self.conv_pre = _wn(
-            tnn.Conv1d(cfg.in_channels, cfg.upsample_initial_channel, 7, padding=3)
-        )
-        self.ups = tnn.ModuleList()
-        for i, (u, k) in enumerate(
-            zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
-        ):
-            self.ups.append(
-                _wn(
-                    tnn.ConvTranspose1d(
-                        cfg.upsample_initial_channel // (2**i),
-                        cfg.upsample_initial_channel // (2 ** (i + 1)),
-                        k,
-                        u,
-                        padding=(k - u) // 2,
-                    )
-                )
-            )
-        self.resblocks = tnn.ModuleList()
-        for i in range(len(self.ups)):
-            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
-            for k, d in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations):
-                self.resblocks.append(_TorchResBlock(ch, k, list(d)))
-        self.conv_post = _wn(tnn.Conv1d(ch, 1, 7, padding=3))
-
-    def forward(self, x):
-        nk = len(self.cfg.resblock_kernel_sizes)
-        x = self.conv_pre(x)
-        for i in range(len(self.ups)):
-            x = tF.leaky_relu(x, 0.1)
-            x = self.ups[i](x)
-            xs = None
-            for j in range(nk):
-                out = self.resblocks[i * nk + j](x)
-                xs = out if xs is None else xs + out
-            x = xs / nk
-        x = tF.leaky_relu(x, 0.1)
-        return torch.tanh(self.conv_post(x))
+from iris_tts_tpu.convert.torch_oracle import (  # noqa: E402
+    TorchGenerator as _TorchGenerator,
+)
 
 
 _SMALL = HiFiGANConfig(

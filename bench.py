@@ -87,12 +87,20 @@ def _measure_cold_start() -> dict:
             "float(jax.jit(lambda x: x + 1)(jnp.float32(1)))\n"
             "floor_s = time.time() - t0\n"
             "print(f'ENV_FLOOR_S={floor_s:.2f}')\n"
+            # Framework-share breakdown (VERDICT r3 item 9): import /
+            # init (deserialize + frontend, overlapped with the first
+            # backend compile via warmup_async) / first synthesize
+            # (residual backend compile + dispatch).
+            "t_i = time.time()\n"
             "from iris_tts_tpu.serve import AotPipeline\n"
+            "print(f'IMPORT_S={time.time() - t_i:.2f}')\n"
             "t_d = time.time()\n"
-            f"aot = AotPipeline({str(tmp / 'aot')!r})\n"
+            f"aot = AotPipeline({str(tmp / 'aot')!r}, warmup_async=True)\n"
             "print(f'DESERIALIZE_S={time.time() - t_d:.2f}')\n"
+            "t_s = time.time()\n"
             "audio = aot.synthesize("
             "'The quick brown fox jumps over the lazy dog.', seed=0)\n"
+            "print(f'FIRST_SYNTH_S={time.time() - t_s:.2f}')\n"
             "assert audio.size > 0 and np.isfinite(audio).all()\n"
             "print(f'FIRST_AUDIO_S={time.time() - t0:.2f}')\n"
         )
@@ -110,7 +118,8 @@ def _measure_cold_start() -> dict:
         for line in r.stdout.splitlines():
             if "=" in line:
                 k, _, v = line.partition("=")
-                if k in ("FIRST_AUDIO_S", "ENV_FLOOR_S", "DESERIALIZE_S"):
+                if k in ("FIRST_AUDIO_S", "ENV_FLOOR_S", "DESERIALIZE_S",
+                         "IMPORT_S", "FIRST_SYNTH_S"):
                     marks[k] = float(v)
         first_audio_s = marks.get("FIRST_AUDIO_S", total_s)
         floor_s = marks.get("ENV_FLOOR_S", 0.0)
@@ -121,12 +130,23 @@ def _measure_cold_start() -> dict:
             f"1-op jit; framework share = {first_audio_s - floor_s:.1f}s), "
             f"{total_s:.1f}s including interpreter spawn", file=sys.stderr,
         )
+        print(
+            "bench: framework-share breakdown — import "
+            f"{marks.get('IMPORT_S', 0):.1f}s, init (deserialize+frontend, "
+            f"compile overlapped) {marks.get('DESERIALIZE_S', 0):.1f}s, "
+            f"first synthesize (backend compile + dispatch) "
+            f"{marks.get('FIRST_SYNTH_S', 0):.1f}s", file=sys.stderr,
+        )
         return {
             "cold_start_to_first_audio_s": round(first_audio_s, 2),
             "cold_start_env_floor_s": round(floor_s, 2),
             "cold_start_framework_s": round(first_audio_s - floor_s, 2),
+            "cold_start_import_s": round(marks.get("IMPORT_S", 0.0), 2),
             "cold_start_deserialize_s": round(
                 marks.get("DESERIALIZE_S", 0.0), 2
+            ),
+            "cold_start_first_synth_s": round(
+                marks.get("FIRST_SYNTH_S", 0.0), 2
             ),
             "aot_export_s": round(export_s, 2),
         }

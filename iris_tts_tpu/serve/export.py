@@ -202,11 +202,15 @@ def export_pipeline(
     return path
 
 
-def _load_artifact(path, text_processor=None):
+def _load_artifact(path, text_processor=None, defer_frontend=False):
     """Shared artifact loader for the two drivers: manifest (format
     checked), vocab, text processor, and deserialized per-(B, P)-bucket
     executables. One copy so the format contract cannot drift between
-    ExportedSynthesizer and AotPipeline."""
+    ExportedSynthesizer and AotPipeline.
+
+    ``defer_frontend=True`` returns ``tp=None`` so the caller can overlap
+    the (seconds-long) frontend construction with the first backend
+    compile — the AotPipeline ``warmup_async`` cold-start path."""
     from jax import export as jax_export
 
     from iris_tts_tpu.text.frontend import create_text_processor
@@ -216,7 +220,10 @@ def _load_artifact(path, text_processor=None):
     manifest = json.loads((path / "manifest.json").read_text())
     _check_format_version(manifest, path)
     vocab = PhonemeVocab.load(path / "vocab.json")
-    tp = text_processor or create_text_processor()
+    tp = (
+        None if (defer_frontend and text_processor is None)
+        else text_processor or create_text_processor()
+    )
     fns = {}
     for e in manifest["entries"]:
         exp = jax_export.deserialize((path / e["file"]).read_bytes())
@@ -293,13 +300,14 @@ class AotPipeline:
     """
 
     def __init__(self, path: str | Path, text_processor=None,
-                 base_seed: int = 1337):
+                 base_seed: int = 1337, warmup_async: bool = False):
         from types import SimpleNamespace
 
         from jax import export as jax_export
 
         (path, self.manifest, self.vocab, self.text_processor,
-         self._fns) = _load_artifact(path, text_processor)
+         self._fns) = _load_artifact(
+            path, text_processor, defer_frontend=warmup_async)
         self.hop = int(self.manifest["samples_per_frame"])
         # Duck-typed config: the serving stack reads only the sample rate.
         self.config = SimpleNamespace(
@@ -322,6 +330,15 @@ class AotPipeline:
         self.seed = base_seed
         self._seed_counter = 0
         self.fused_overflow_count = 0
+        if warmup_async:
+            # Cold-start overlap: kick the first backend compile on the
+            # warmup thread NOW, then build the text frontend (CMUdict +
+            # G2P load, seconds of host work) while the chip compiles.
+            self.warmup(block=False, sync_first=False)
+            if self.text_processor is None:
+                from iris_tts_tpu.text.frontend import create_text_processor
+
+                self.text_processor = create_text_processor()
 
     # -- the DynamicBatcher surface -----------------------------------------
 
@@ -365,7 +382,7 @@ class AotPipeline:
         )
         jax.device_get(out[2])
 
-    def warmup(self, block: bool = True) -> None:
+    def warmup(self, block: bool = True, sync_first: bool = True) -> None:
         """Backend-compile the exported executables before traffic.
 
         ``block=True``: one dispatch per executable, serially (boot cost =
@@ -374,7 +391,10 @@ class AotPipeline:
         moment one executable is live — and the rest on a daemon thread in
         ascending size order; a request needing a not-yet-warm bucket just
         pays that compile inline, exactly as it would with no warmup.
-        ``warm_all_done()`` reports completion (e.g. for /stats).
+        ``sync_first=False`` moves even the first compile to the thread
+        (the ``warmup_async`` constructor overlap: host init continues
+        while the chip compiles). ``warm_all_done()`` reports completion
+        (e.g. for /stats).
         """
         keys = list(sorted(self._fns))
         if self._vocwin is not None:
@@ -383,8 +403,11 @@ class AotPipeline:
         if not keys:
             self._warm_all.set()
             return
-        self._warm_one(keys[0])
-        rest = keys[1:]
+        if block or sync_first:
+            self._warm_one(keys[0])
+            rest = keys[1:]
+        else:
+            rest = keys
         if block:
             for k in rest:
                 self._warm_one(k)

@@ -254,6 +254,25 @@ def test_progressive_warmup(pipeline, aot_dir_batched):
     assert aot2.warm_all_done()
 
 
+def test_warmup_async_constructor_overlap(aot_dir_batched):
+    """warmup_async=True starts ALL backend compiles on the warmup thread
+    from inside the constructor and builds the text frontend while they
+    run (the cold-start overlap, VERDICT r3 item 9); the pipeline is
+    immediately usable and converges to fully warm."""
+    import time
+
+    from iris_tts_tpu.serve import AotPipeline
+
+    aot = AotPipeline(aot_dir_batched, warmup_async=True)
+    assert aot.text_processor is not None  # built after the kick-off
+    out = aot.synthesize("hello world", seed=3)
+    assert out.size > 0 and np.isfinite(out).all()
+    deadline = time.time() + 120
+    while not aot.warm_all_done() and time.time() < deadline:
+        time.sleep(0.05)
+    assert aot.warm_all_done()
+
+
 @pytest.fixture(scope="module")
 def aot_dir_vocwin(pipeline, tmp_path_factory):
     out = tmp_path_factory.mktemp("aot_vocwin")

@@ -142,7 +142,10 @@ def _measure_cold_start() -> dict:
             "cold_start_env_floor_s": round(floor_s, 2),
             "cold_start_framework_s": round(first_audio_s - floor_s, 2),
             "cold_start_import_s": round(marks.get("IMPORT_S", 0.0), 2),
-            "cold_start_deserialize_s": round(
+            # NOTE: renamed from cold_start_deserialize_s (r03): with the
+            # warmup_async overlap the constructor now also builds the
+            # text frontend, so this is init time, not pure deserialize.
+            "cold_start_init_s": round(
                 marks.get("DESERIALIZE_S", 0.0), 2
             ),
             "cold_start_first_synth_s": round(

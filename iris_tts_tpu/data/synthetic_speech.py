@@ -269,7 +269,9 @@ def build_tracks(
     # --- F0 contour: declination + final fall + jitter ---------------------
     decl = f0_base * (1.0 - 0.18 * t_axis / max(total - 1, 1))
     fall = np.ones(total)
-    n_fall = min(total, int(durs[-1] + durs[min(len(durs) - 1, 1)]))
+    # final fall spans the last TWO phones (matching the phrase-final
+    # lengthening window in sample_durations)
+    n_fall = min(total, int(durs[-1] + durs[max(len(durs) - 2, 0)]))
     fall[-n_fall:] = np.linspace(1.0, 0.82, n_fall)
     jitter = 1.0 + 0.02 * rng.standard_normal(total)
     # small per-phone accent bumps so F0 has word-level structure

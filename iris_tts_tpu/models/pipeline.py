@@ -473,6 +473,19 @@ class TTSPipeline:
                     f"half-precision artifact tree does not match the "
                     f"config architecture: {got} vs {want}"
                 )
+            # Leaf shapes too: same tree with different widths must fail
+            # here with a clear message, not deep inside flax.apply.
+            for (kp, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(raw),
+                jax.tree_util.tree_leaves(pipe.params),
+            ):
+                if np.asarray(a).shape != np.asarray(b).shape:
+                    raise ValueError(
+                        "half-precision artifact leaf "
+                        f"{jax.tree_util.keystr(kp)} has shape "
+                        f"{np.asarray(a).shape}, config wants "
+                        f"{np.asarray(b).shape}"
+                    )
             pipe.params = raw
         else:
             pipe.params = load_params(path / "params", template=pipe.params)

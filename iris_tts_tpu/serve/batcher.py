@@ -328,26 +328,30 @@ class DynamicBatcher:
             items.append(nxt)
         return items
 
-    def _adapt_batch(self, n_collected: int) -> None:
-        """Adaptive effective batch (VERDICT r3 item 3): a full collect
-        with more work still queued doubles the dispatch cap toward
-        ``max_batch_limit`` — the device trades per-request latency it is
-        NOT delivering anyway (the work would sit in the queue) for the
-        ~2x bulk throughput of big batches. Light collects decay it back
-        so light traffic keeps small-batch latency."""
-        if n_collected >= self._eff_batch and not self._queue.empty():
+    def _adapt_batch(self, n_rows: int) -> None:
+        """Adaptive effective batch (VERDICT r3 item 3): a row-saturated
+        collect with more work still queued doubles the dispatch cap
+        toward ``max_batch_limit`` — the device trades per-request latency
+        it is NOT delivering anyway (the work would sit in the queue) for
+        the ~2x bulk throughput of big batches. Light collects decay it
+        back so light traffic keeps small-batch latency. Load is measured
+        in device ROWS (chunks), the unit the cap bounds — item count
+        would undercount chunk-heavy traffic and never grow."""
+        if n_rows >= self._eff_batch and not self._queue.empty():
             grown = min(self._eff_batch * 2, self._max_batch_limit)
             if grown != self._eff_batch:
                 self._eff_batch = grown
                 logger.info("queue depth %d: effective batch -> %d",
                             self._queue.qsize(), grown)
-        elif n_collected * 4 <= self._eff_batch:
+        elif n_rows * 4 <= self._eff_batch:
             self._eff_batch = max(self._eff_batch // 2, self._max_batch)
 
     def _run(self) -> None:
         while not (self._stopping.is_set() and self._queue.empty()):
             items = self._collect()
-            self._adapt_batch(len(items))
+            self._adapt_batch(sum(
+                len(it.chunks) if it.chunks else 1 for it in items
+            ))
             if not items:
                 continue
             # Seeded requests dispatch alone (reproducibility contract);

@@ -78,6 +78,16 @@ _REGNAL_STOPWORDS = frozenset(
     "every another with for and but nor was were has had who she him "
     "they all not one two new old".split()
 )
+# SINGLE-letter numerals are far more ambiguous than 'VIII': "Saturn V",
+# "Malcolm X", "Gemini V" are names/vehicles, not regnal ordinals. A bare
+# 'V'/'I' only reads regnally after a first name that historically takes
+# one (the classify-then-verbalize gate, same approach as the cardinal
+# context list above).
+_REGNAL_NAMES = frozenset(
+    "henry edward charles louis george william richard james mary "
+    "elizabeth philip frederick alexander napoleon leo paul pius urban "
+    "gregory benedict clement innocent".split()
+)
 # "January 5" / "January 5, 1984" style dates → ordinal day reading.
 _RE_MONTH_DAY = re.compile(
     rf"\b({_MONTHS})\s+(\d{{1,2}})(st|nd|rd|th)?\b", re.IGNORECASE
@@ -119,13 +129,18 @@ def _expand_romans(text: str) -> str:
         if m.group(1).lower() in _REGNAL_STOPWORDS:
             return m.group(0)  # "The IV drip" — not a monarch
         numeral = m.group(2)
-        # Single-letter numerals after a name: "Henry V" / "Elizabeth I"
-        # are regnal, but a bare "I" continuing into more words is almost
-        # always the pronoun ("yesterday Mary I met..."), so single "I"
-        # only reads regnal before punctuation/end or "of". Bare "X" never
-        # expands — "Malcolm X" is a name, not the tenth.
-        if numeral == "I" and re.match(r"\s+(?!of\b)\w", m.string[m.end():]):
-            return m.group(0)
+        # Single-letter numerals: only after a known regnal first name
+        # ("Henry V", "Charles V" — NOT "Saturn V"/"Malcolm X"), and a bare
+        # "I" continuing into more words is almost always the pronoun
+        # ("yesterday Mary I met..."), so "I" additionally requires
+        # punctuation/end or "of" after it.
+        if len(numeral) == 1:
+            if m.group(1).lower() not in _REGNAL_NAMES:
+                return m.group(0)
+            if numeral == "I" and re.match(
+                r"\s+(?!of\b)\w", m.string[m.end():]
+            ):
+                return m.group(0)
         n = roman_to_int(numeral)
         if n is None or n > 50:  # Henry VIII yes, NASDAQ CM no
             return m.group(0)

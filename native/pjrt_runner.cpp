@@ -847,6 +847,7 @@ struct Bucket {
   int64_t batch = 0, phonemes = 0, frames = 0;
   std::string mlir_path;
   PJRT_LoadedExecutable* exe = nullptr;  // compiled lazily or up front
+  size_t num_outputs = 0;
   double compile_ms = 0;
 };
 
@@ -907,6 +908,15 @@ struct ArtifactHost {
   void EnsureCompiled(Bucket* b) {
     if (b->exe != nullptr || dry_run) return;
     b->exe = pjrt.Compile(ReadFile(b->mlir_path), copts, &b->compile_ms);
+    // The format_version-2 calling convention is exactly 4 outputs
+    // (audio, mel, n_frames, deficit; docs/AOT_ARTIFACT.md). Execute()
+    // sizes the PJRT output array from this count, so a mismatched
+    // executable must fail HERE, not scribble past the array.
+    b->num_outputs = pjrt.NumOutputs(b->exe);
+    if (b->num_outputs != 4)
+      Fatal(b->mlir_path + ": executable has " +
+            std::to_string(b->num_outputs) +
+            " outputs, format_version 2 wants 4 — re-export the artifact");
     std::fprintf(stderr, "pjrt_runner: compiled b%ld_p%ld (%.0f ms)\n",
                  static_cast<long>(b->batch),
                  static_cast<long>(b->phonemes), b->compile_ms);
@@ -960,7 +970,7 @@ struct ArtifactHost {
     ParseScalarArg("f32:" + std::to_string(temperature), &temp_arr);
 
     std::vector<PJRT_Buffer*> ins;
-    std::vector<HostArray> out(4);
+    std::vector<HostArray> out(b->num_outputs);
     double exec_ms = 0;
     try {
       for (const HostArray* a : {&ids_arr, &len_arr, &seed_arr, &temp_arr})
@@ -978,9 +988,17 @@ struct ArtifactHost {
     }
     // outputs: audio [B, T*spf] f32, mel [B, T, n_mels] f32,
     // n_frames [B] i32, deficit [B] i32
-    if (out[2].dtype == nullptr || out[2].dtype->pjrt !=
-        PJRT_Buffer_Type_S32)
-      Fatal("unexpected n_frames output dtype");
+    if (out[2].dtype == nullptr ||
+        out[2].dtype->pjrt != PJRT_Buffer_Type_S32 ||
+        out[2].data.size() < 4)
+      Fatal("unexpected n_frames output dtype/size");
+    if (out[3].dtype == nullptr ||
+        out[3].dtype->pjrt != PJRT_Buffer_Type_S32 ||
+        out[3].data.size() < 4)
+      Fatal("unexpected deficit output dtype/size");
+    if (out[0].dtype == nullptr ||
+        out[0].dtype->pjrt != PJRT_Buffer_Type_F32)
+      Fatal("unexpected audio output dtype");
     int32_t n_frames =
         reinterpret_cast<const int32_t*>(out[2].data.data())[0];
     int32_t deficit =

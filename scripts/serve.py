@@ -48,12 +48,14 @@ def main() -> None:
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--max_batch", type=int, default=8,
                         help="dispatch cap under light load")
-    parser.add_argument("--max_batch_limit", type=int, default=64,
+    parser.add_argument("--max_batch_limit", type=int, default=None,
                         help="adaptive growth ceiling: sustained queue "
                         "depth doubles the effective batch from "
                         "--max_batch toward this (bulk throughput at "
-                        "B=64-128 is ~2x the B=8 point); set equal to "
-                        "--max_batch to disable growth")
+                        "B=64-128 is ~2x the B=8 point). Opt-in: every "
+                        "extra bucket is one more warmup compile — "
+                        "minutes each on tunneled backends (default: no "
+                        "growth)")
     parser.add_argument("--max_wait_ms", type=float, default=5.0)
     parser.add_argument("--request_timeout_s", type=float, default=600.0)
     parser.add_argument("--max_queue", type=int, default=256,
@@ -88,7 +90,8 @@ def main() -> None:
                 args.max_batch, max(pipe.batch_buckets),
             )
             args.max_batch = max(pipe.batch_buckets)
-        if args.max_batch_limit > max(pipe.batch_buckets):
+        if args.max_batch_limit and (
+                args.max_batch_limit > max(pipe.batch_buckets)):
             args.max_batch_limit = max(pipe.batch_buckets)
         # Backend-compile the pre-lowered executables before traffic.
         # Progressive (default): the smallest bucket compiles synchronously
@@ -126,7 +129,7 @@ def main() -> None:
         # probes would leave most combinations cold.
         # ... up to the adaptive growth LIMIT: the first grown dispatch
         # must not pay a live compile either.
-        top = max(args.max_batch, args.max_batch_limit)
+        top = max(args.max_batch, args.max_batch_limit or 0)
         batch_buckets, b = [], 1
         while b < top:
             batch_buckets.append(b)

@@ -371,3 +371,9 @@ def test_regnal_single_letter_numerals():
         "yesterday mary i met a friend."
     )
     assert n("The V sign.") == "the v sign."
+    # single-letter numerals gate on a known regnal first name (review
+    # finding: "Saturn V" must not become "saturn the fifth")
+    assert n("The Saturn V rocket launched.") == (
+        "the saturn v rocket launched."
+    )
+    assert n("Gemini V orbited twice.") == "gemini v orbited twice."

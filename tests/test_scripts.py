@@ -273,3 +273,41 @@ def test_bench_serve_cli(small_cfg_file):
     assert payload["requests_completed"] == 4
     assert payload["latency_ms"]["p99"] is not None
     assert payload["value"] > 0
+
+
+def test_make_synthetic_corpus_cli(tmp_path):
+    r = _run(["scripts/make_synthetic_corpus.py", "--root",
+              str(tmp_path / "c"), "--n", "3"])
+    assert r.returncode == 0, r.stderr[-500:]
+    root = tmp_path / "c" / "LJSpeech-1.1"
+    assert (root / "metadata.csv").exists()
+    assert len(list((root / "wavs").glob("*.wav"))) == 3
+    assert len(list((tmp_path / "c" / "aligned").glob("*.TextGrid"))) == 3
+
+
+def test_gen_normalize_corpus_cli(tmp_path):
+    # property checks run on every case; audit prints samples
+    r = _run(["scripts/gen_normalize_corpus.py", "--audit", "1"])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "== cardinal" in r.stdout
+
+
+def test_train_full_pipeline_help():
+    r = _run(["scripts/train_full_pipeline.py", "--help"], timeout=120)
+    assert r.returncode == 0
+    for flag in ("--encoder_epochs", "--gan_epochs", "--artifact_half",
+                 "--skip_eval"):
+        assert flag in r.stdout
+
+
+def test_plot_training_curves_cli(tmp_path):
+    run = tmp_path / "run" / "encoder"
+    run.mkdir(parents=True)
+    (run / "metrics.csv").write_text(
+        "step,name,value,wall_time\n"
+        "1,loss,2.0,0\n2,loss,1.0,0\n1,val_loss,2.5,0\n"
+    )
+    r = _run(["scripts/plot_training_curves.py", "--run",
+              str(tmp_path / "run"), "--out", str(tmp_path / "plots")])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert (tmp_path / "plots" / "curves_encoder.png").stat().st_size > 0

@@ -40,6 +40,10 @@ def main() -> None:
                         default="Hello world, this is a test.")
     parser.add_argument("--output_wav", type=str,
                         default="outputs/sample.wav")
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="deployable pipeline directory "
+                        "(TTSPipeline.save, e.g. release/pipeline_artifact)"
+                        " — overrides the per-stage checkpoint flags")
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--vocab_path", type=str, default=None,
                         help="phoneme_vocab.json (or reference .npy)")
@@ -74,7 +78,11 @@ def main() -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
-    if args.random_weights:
+    if args.artifact:
+        pipe = TTSPipeline.load(
+            args.artifact, lexicon_path=args.lexicon_path, dtype=dtype
+        )
+    elif args.random_weights:
         cfg = load_config(args.config) if args.config else IrisConfig()
         pipe = TTSPipeline.initialize(
             cfg, lexicon_path=args.lexicon_path, seed=args.seed, dtype=dtype

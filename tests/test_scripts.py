@@ -311,3 +311,20 @@ def test_plot_training_curves_cli(tmp_path):
               str(tmp_path / "run"), "--out", str(tmp_path / "plots")])
     assert r.returncode == 0, r.stderr[-500:]
     assert (tmp_path / "plots" / "curves_encoder.png").stat().st_size > 0
+
+
+def test_synthesize_cli_artifact(small_cfg_file, tmp_path):
+    """--artifact loads a TTSPipeline.save directory (the shipped-release
+    path) and synthesizes out of the box."""
+    mk = _run(["-c", (
+        "from iris_tts_tpu.models import TTSPipeline\n"
+        "from iris_tts_tpu.config import load_config\n"
+        f"p = TTSPipeline.initialize(load_config({str(small_cfg_file)!r}))\n"
+        f"p.save({str(tmp_path / 'art')!r}, half=True)\n"
+    )])
+    assert mk.returncode == 0, mk.stderr[-500:]
+    out = tmp_path / "o.wav"
+    r = _run(["scripts/synthesize.py", "--artifact", str(tmp_path / "art"),
+              "--text", "hello world", "--output_wav", str(out)])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert out.stat().st_size > 44

@@ -92,6 +92,18 @@ class VAEConfig:
     flow_layers: int = 4
     flow_hidden: int = 64
     dropout: float = 0.1
+    # Train the VP flow as the LATENT PRIOR (the PortaSpeech recipe):
+    # the decoder consumes the posterior sample z directly, and the flow
+    # learns flow(z) ~ N(0,I) via its NLL inside the KL term — making the
+    # training decode input and the generation decode input
+    # (flow⁻¹(N(0,I))) the SAME space. False = the reference's exact
+    # composition (decode(flow(z)) in training, decode(flow⁻¹(z')) at
+    # generation — vae.py:401,466), kept for converted-checkpoint parity;
+    # it only coheres when the KL actually pins q(z|x) ≈ N(0,I) AND the
+    # flow stays near identity, which the reference's kl_weight=0.01
+    # never achieves (measured round 4: prior-generation MCD no better
+    # than a shuffled control while posterior recon was 12 dB).
+    flow_prior: bool = False
 
     @property
     def down_factor(self) -> int:

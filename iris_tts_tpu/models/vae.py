@@ -303,16 +303,21 @@ class TextConditionedVAE(nn.Module):
         mel: jnp.ndarray,
         frame_cond: jnp.ndarray,
         deterministic: bool = True,
+        return_u: bool = False,
     ):
         """Posterior encode + reconstruct (reference: vae.py:366-422).
 
         Args:
             mel: [B, T, n_mels] target mel (time-major).
             frame_cond: [B, T, cond_dim] frame-aligned text conditioning.
+            return_u: additionally return ``u = flow(z)`` — the flow-prior
+                image of the sampled latent, whose NLL trains the flow as
+                the prior in ``flow_prior`` mode (losses.vae_loss).
         Returns:
             recon [B, T, n_mels], (mean, logvar) at latent rate, residual
-            [B, T, cond_dim].
+            [B, T, cond_dim] — plus ``u`` when ``return_u``.
         """
+        cfg = self.config
         h = self.in_proj(mel)
         for block in self.enc_blocks:
             h = block(h, frame_cond, deterministic)
@@ -331,8 +336,15 @@ class TextConditionedVAE(nn.Module):
             )
             z = mean + jnp.exp(0.5 * logvar) * eps
 
-        z_flow = self.flow(z, lat_cond, reverse=False)
-        recon, residual = self._decode(z_flow, lat_cond, deterministic)
+        u = self.flow(z, lat_cond, reverse=False)
+        # flow_prior (PortaSpeech): decode the posterior sample itself —
+        # the SAME space generate() decodes (flow⁻¹(N(0,I))); the flow
+        # only shapes the prior. Reference mode: decode(flow(z)), kept
+        # for converted-checkpoint parity (vae.py:401).
+        z_dec = z if cfg.flow_prior else u
+        recon, residual = self._decode(z_dec, lat_cond, deterministic)
+        if return_u:
+            return recon, (mean, logvar), residual, u
         return recon, (mean, logvar), residual
 
     # -- inference path ------------------------------------------------------

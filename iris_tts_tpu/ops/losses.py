@@ -100,6 +100,31 @@ def kl_divergence(
     return jnp.mean(kl)
 
 
+def flow_prior_kl(
+    mean: jnp.ndarray,
+    logvar: jnp.ndarray,
+    u: jnp.ndarray,
+    latent_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Monte-Carlo KL(q(z|x) ‖ p_flow(z)) for the flow-prior VAE.
+
+    The prior is N(0,I) pulled back through the volume-preserving flow
+    (unit Jacobian), so with one posterior sample z and u = flow(z):
+    KL ≈ −H(q) − log p(z) = −½Σ(1+logvar) + ½Σu²  (per masked position,
+    constants cancel). Gradients flow into the flow params through u —
+    this term IS the flow's maximum-likelihood prior training
+    (PortaSpeech), and into the posterior through both terms.
+    """
+    logvar = logvar.astype(jnp.float32)
+    u = u.astype(jnp.float32)
+    kl = 0.5 * jnp.square(u) - 0.5 * (1.0 + logvar)
+    del mean  # enters through u = flow(mean + std·eps)
+    if latent_mask is not None:
+        m = latent_mask.astype(kl.dtype)[..., None]
+        return jnp.sum(kl * m) / (jnp.sum(m) + 1e-8)
+    return jnp.mean(kl)
+
+
 def vae_loss(
     target_mel: jnp.ndarray,
     recon_mel: jnp.ndarray,
@@ -108,16 +133,22 @@ def vae_loss(
     frame_mask: jnp.ndarray,
     down_factor: int,
     kl_weight: jnp.ndarray,
+    u: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Composite VAE loss = masked L1 + kl_weight * masked KL.
 
     Matches ``VAETrainer.compute_loss`` (/root/reference/scripts/
     train_vae.py:88-106) including the latent mask being the frame mask
-    strided by the downsample factor.
+    strided by the downsample factor. With ``u`` (the flow image of the
+    sampled latent) the KL is taken against the FLOW prior instead of
+    N(0,I) — the ``VAEConfig.flow_prior`` training objective.
     """
     recon = masked_l1_loss(target_mel, recon_mel, frame_mask)
     latent_mask = frame_mask[:, ::down_factor]
-    kl = kl_divergence(mean, logvar, latent_mask)
+    if u is not None:
+        kl = flow_prior_kl(mean, logvar, u, latent_mask)
+    else:
+        kl = kl_divergence(mean, logvar, latent_mask)
     total = recon + kl_weight * kl
     return total, {"recon_l1": recon, "kl": kl, "total": total}
 

@@ -233,19 +233,24 @@ def make_vae_train_step(
     vae = TextConditionedVAE(config=cfg.vae, dtype=dt, remat=remat)
     down_factor = cfg.vae.down_factor
 
+    flow_prior = cfg.vae.flow_prior
+
     def loss_fn(params, frozen, batch, rng, kl_weight):
         cond, frame_mask = _frame_condition(encoder, frozen, batch)
         sample_rng, dropout_rng = jax.random.split(rng)
-        recon, (mean, logvar), _ = vae.apply(
+        out = vae.apply(
             {"params": params},
             batch["mel"],
             cond,
             deterministic=False,
+            return_u=flow_prior,
             rngs={"sample": sample_rng, "dropout": dropout_rng},
         )
+        recon, (mean, logvar) = out[0], out[1]
+        u = out[3] if flow_prior else None
         total, metrics = vae_loss(
             batch["mel"], recon, mean, logvar, frame_mask,
-            down_factor, kl_weight,
+            down_factor, kl_weight, u=u,
         )
         return total, metrics
 

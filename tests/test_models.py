@@ -259,3 +259,119 @@ def test_postnet_zero_bn_init_passthrough(keys):
     out = pn.apply(variables, mel)
     assert out.shape == mel.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFlowPriorVAE:
+    """VAEConfig.flow_prior (the PortaSpeech prior recipe — round-4 fix
+    for prior-generation quality: the reference composition decodes
+    flow(z) in training but flow⁻¹(z') at generation, which measured out
+    to prior-gen MCD no better than a shuffled control)."""
+
+    def _cfg(self, flow_prior):
+        from iris_tts_tpu.config import VAEConfig
+
+        return VAEConfig(
+            n_mels=8, cond_dim=16, model_channels=8, latent_dim=4,
+            num_wavenet_blocks=1, decoder_blocks=1, flow_layers=2,
+            flow_hidden=8, dropout=0.0, flow_prior=flow_prior,
+        )
+
+    def _init(self, cfg):
+        from iris_tts_tpu.models import TextConditionedVAE
+
+        vae = TextConditionedVAE(config=cfg)
+        key = jax.random.PRNGKey(0)
+        params = vae.init(
+            {"params": key, "sample": key},
+            jnp.zeros((1, 8, cfg.n_mels)), jnp.zeros((1, 8, cfg.cond_dim)),
+        )["params"]
+        return vae, params
+
+    def test_decode_input_space(self):
+        """flow_prior: recon must NOT depend on the flow params (decoder
+        consumes z directly); reference mode: it must (decode(flow(z)))."""
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(rng.standard_normal((1, 8, 8)), jnp.float32)
+        cond = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+
+        for flow_prior, expect_dependence in ((True, False), (False, True)):
+            cfg = self._cfg(flow_prior)
+            vae, params = self._init(cfg)
+            # zero-init couplings make the flow ≈ identity; perturb them
+            flow = jax.tree_util.tree_map(
+                lambda x: x + 0.5, params["vpflow"]
+            )
+            p2 = {**params, "vpflow": flow}
+            out1 = vae.apply({"params": params}, mel, cond,
+                             rngs={"sample": jax.random.PRNGKey(1)})
+            out2 = vae.apply({"params": p2}, mel, cond,
+                             rngs={"sample": jax.random.PRNGKey(1)})
+            differs = not np.allclose(np.asarray(out1[0]),
+                                      np.asarray(out2[0]))
+            assert differs == expect_dependence, (flow_prior, differs)
+
+    def test_return_u_and_flow_prior_kl(self):
+        from iris_tts_tpu.ops.losses import flow_prior_kl
+
+        cfg = self._cfg(True)
+        vae, params = self._init(cfg)
+        rng = np.random.default_rng(1)
+        mel = jnp.asarray(rng.standard_normal((2, 8, 8)), jnp.float32)
+        cond = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+        recon, (mean, logvar), _res, u = vae.apply(
+            {"params": params}, mel, cond, deterministic=False,
+            return_u=True, rngs={"sample": jax.random.PRNGKey(2)},
+        )
+        assert u.shape == mean.shape
+        mask = jnp.ones(mean.shape[:2])
+        kl = flow_prior_kl(mean, logvar, u, mask)
+        assert np.isfinite(float(kl))
+        # zero-init flow ⇒ u == z; with q = N(mean, I) (zero-init logvar)
+        # the MC-KL stays modest, and gradients reach the flow params
+        def loss(p):
+            _, (m, lv), _, uu = vae.apply(
+                {"params": p}, mel, cond, deterministic=False,
+                return_u=True, rngs={"sample": jax.random.PRNGKey(2)},
+            )
+            return flow_prior_kl(m, lv, uu, mask)
+
+        g = jax.grad(loss)(params)
+        flow_grad = sum(
+            float(jnp.abs(x).sum())
+            for x in jax.tree_util.tree_leaves(g["vpflow"])
+        )
+        assert flow_grad > 0.0  # the KL term trains the flow (prior NLL)
+
+    def test_train_step_runs_with_flow_prior(self):
+        from iris_tts_tpu.config import (DurationConfig, EncoderConfig,
+                                         IrisConfig)
+        from iris_tts_tpu.models import PhonemeEncoder
+        from iris_tts_tpu.train import (TrainState, adam_clipped,
+                                        make_vae_train_step)
+
+        cfg = IrisConfig(
+            encoder=EncoderConfig(vocab_size=8, embed_dim=16, num_blocks=1,
+                                  num_heads=2, dropout=0.0),
+            duration=DurationConfig(hidden_dim=8, num_layers=1),
+            vae=self._cfg(True),
+        )
+        key = jax.random.PRNGKey(0)
+        enc = PhonemeEncoder(config=cfg.encoder)
+        p_enc = enc.init(key, jnp.zeros((1, 4), jnp.int32))["params"]
+        vae, p_vae = self._init(cfg.vae)
+        state = TrainState.create(
+            p_vae, adam_clipped(1e-3), key, frozen={"encoder": p_enc}
+        )
+        step = jax.jit(make_vae_train_step(cfg))
+        batch = {
+            "phoneme_ids": jnp.ones((2, 4), jnp.int32),
+            "durations": jnp.full((2, 4), 2.0),
+            "phoneme_mask": jnp.ones((2, 4)),
+            "mel": jnp.zeros((2, 8, 8)),
+        }
+        losses = []
+        for _ in range(3):
+            state, m = step(state, batch, jnp.asarray(0.05))
+            losses.append(float(m["total"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]

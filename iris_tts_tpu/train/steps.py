@@ -298,14 +298,21 @@ def make_vae_eval_step(cfg: IrisConfig):
     vae = TextConditionedVAE(config=cfg.vae)
     down_factor = cfg.vae.down_factor
 
+    flow_prior = cfg.vae.flow_prior
+
     def step(params, frozen, batch: Batch, kl_weight):
         cond, frame_mask = _frame_condition(encoder, frozen, batch)
-        recon, (mean, logvar), _ = vae.apply(
-            {"params": params}, batch["mel"], cond
+        out = vae.apply(
+            {"params": params}, batch["mel"], cond, return_u=flow_prior
         )
+        recon, (mean, logvar) = out[0], out[1]
+        # flow_prior: val KL against the FLOW prior (deterministic z=mean
+        # sample), same objective the train step optimizes — scoring it
+        # against N(0,I) would report a meaninglessly large number.
+        u = out[3] if flow_prior else None
         _, metrics = vae_loss(
             batch["mel"], recon, mean, logvar, frame_mask,
-            down_factor, kl_weight,
+            down_factor, kl_weight, u=u,
         )
         return metrics
 

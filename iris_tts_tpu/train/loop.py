@@ -24,6 +24,19 @@ from iris_tts_tpu.utils.metrics import MetricsWriter, RunningMean
 
 logger = logging.getLogger(__name__)
 
+# Process-wide preemption marker. A standalone stage CLI exits right after
+# its TrainLoop returns, so the instance flag is enough there — but the
+# four-stage driver (scripts/train_full_pipeline.py) calls several stage
+# mains in one process and must NOT proceed to the next stage after a
+# SIGTERM-triggered checkpoint-and-stop (the later stages would train
+# against a half-trained upstream and the run would look "complete").
+_PREEMPTED = False
+
+
+def was_preempted() -> bool:
+    """True if any TrainLoop in this process stopped on SIGTERM/SIGINT."""
+    return _PREEMPTED
+
 
 @dataclass
 class TrainLoop:
@@ -107,6 +120,8 @@ class TrainLoop:
                 signal.signal(sig, h)
 
     def _preempt_save(self, state: TrainState) -> None:
+        global _PREEMPTED
+        _PREEMPTED = True
         self.preempted = True
         if self.checkpoints is None:
             return

@@ -9,8 +9,22 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 from dataclasses import replace
 from pathlib import Path
+
+# Optional platform override for the stage CLIs (mirrors the test
+# conftest's IRIS_TEST_PLATFORM): environments that pre-import jax with
+# JAX_PLATFORMS pinned to a hardware plugin (site customization) make the
+# env var alone too late, so go through the live config. Lets smoke runs
+# of the training scripts execute on CPU: IRIS_PLATFORM=cpu python
+# scripts/train_full_pipeline.py ...
+_plat = os.environ.get("IRIS_PLATFORM")
+if _plat:
+    import jax
+
+    os.environ["JAX_PLATFORMS"] = _plat
+    jax.config.update("jax_platforms", _plat)
 
 from iris_tts_tpu.config import IrisConfig, load_config, save_config
 

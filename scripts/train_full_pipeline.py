@@ -53,6 +53,18 @@ def run_stage(name: str, main_fn, argv: list[str]) -> float:
     finally:
         sys.argv = saved_argv
     dt = time.time() - t0
+    from iris_tts_tpu.train.loop import was_preempted
+
+    if was_preempted():
+        # The stage checkpointed and stopped on SIGTERM/SIGINT. Running the
+        # NEXT stage against a half-trained upstream would silently produce
+        # a "complete" but wrong run — stop the whole driver instead; a
+        # rerun with the same --output_dir resumes every stage in place.
+        logger.warning(
+            "=== stage %s preempted after %.1fs — stopping the pipeline "
+            "(rerun with the same --output_dir to resume) ===", name, dt,
+        )
+        sys.exit(75)  # EX_TEMPFAIL
     logger.info("=== stage %s done in %.1fs ===", name, dt)
     return dt
 

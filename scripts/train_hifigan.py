@@ -268,7 +268,10 @@ def main() -> None:
         logger.info("epoch %d: %s", epoch + 1,
                     {k: round(v, 4) for k, v in means.items()})
         writer.write(int(gen_state.step), means)
-        if (epoch + 1) % cfg.train.checkpoint_every_epochs == 0:
+        if (
+            (epoch + 1) % cfg.train.checkpoint_every_epochs == 0
+            or epoch + 1 == cfg.train.num_epochs
+        ):
             # Async saves: the next epoch trains while both sides commit.
             gen_ckpt.save(int(gen_state.step), gen_state,
                           val_metric=means.get("gen_mel_l1"),

@@ -94,6 +94,8 @@ class TrainLoop:
     preempted: bool = field(default=False, init=False)
 
     def run(self) -> TrainState:
+        global _PREEMPTED
+        _PREEMPTED = False  # a past loop's preemption is not this one's
         state = self.state
         stop = threading.Event()
         old_handlers = {}

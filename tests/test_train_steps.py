@@ -213,6 +213,11 @@ def test_preemption_checkpoints_and_resumes(rng, tmp_path):
     )
     out_state = loop.run()
     assert loop.preempted
+    # Process-wide marker: the four-stage driver consults this to stop
+    # instead of training the next stage on a half-trained upstream.
+    from iris_tts_tpu.train.loop import was_preempted
+
+    assert was_preempted()
     saved_step = int(out_state.step)
     assert 2 <= saved_step < 50  # stopped mid-epoch, not at the end
     assert ckpt.latest_step() == saved_step

@@ -207,6 +207,11 @@ def main() -> None:
     ap.add_argument("--max_batch_limit", type=int, default=None,
                     help="adaptive batch growth ceiling (default: no "
                     "growth)")
+    ap.add_argument("--ab_max_batch_limit", type=int, default=None,
+                    help="A/B mode: run the fixed-batch baseline AND an "
+                    "adaptive batcher with this growth ceiling in one "
+                    "process (one JSON line per config per rate); "
+                    "in-process only")
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--max_queue", type=int, default=256)
     ap.add_argument("--timeout_s", type=float, default=600.0)
@@ -234,70 +239,85 @@ def main() -> None:
     offered_rates = args.offered_qps or []
     mode = "open" if offered_rates else "closed"
     transport = "http" if args.http else "inproc"
+    if args.ab_max_batch_limit is not None and args.http:
+        ap.error("--ab_max_batch_limit is in-process only (no --http)")
 
-    if args.http:
-        server = TTSServer(
-            pipe, host="127.0.0.1", port=0, max_batch=args.max_batch,
-            max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
-            pcm16_transfer=args.pcm16,
-            request_timeout_s=args.timeout_s,
-            max_batch_limit=args.max_batch_limit,
-        ).start()
-        host, port = server.address[:2]
-        batcher = server.batcher
+    # Batcher configurations to measure. --ab_max_batch_limit N runs the
+    # fixed-batch baseline AND the adaptive config back-to-back in ONE
+    # process: the jit cache lives on the pipeline, so the second config's
+    # warmup only compiles its extra batch buckets — one per-process
+    # compile-service session floor instead of two (docs/PERF.md).
+    if args.ab_max_batch_limit is not None:
+        configs = [("fixed", None), ("adaptive", args.ab_max_batch_limit)]
     else:
-        batcher = DynamicBatcher(
-            pipe, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-            max_queue=args.max_queue, pcm16_transfer=args.pcm16,
-            max_batch_limit=args.max_batch_limit,
-        ).start()
-        server = None
+        configs = [(None, args.max_batch_limit)]
 
-    try:
-        print("warmup (compiling every batch bucket + fused path)...",
-              file=sys.stderr)
-        t0 = time.perf_counter()
-        batcher.warmup()
-        print(f"warmup done in {time.perf_counter() - t0:.1f}s",
-              file=sys.stderr)
-
+    runs = []  # (label, limit, rate|None, lats, audio_s, rej, wall, n, hist)
+    for label, limit in configs:
         if args.http:
-            def submit(text, timeout):
-                return _http_synthesize(host, port, text, timeout) / sr
+            server = TTSServer(
+                pipe, host="127.0.0.1", port=0, max_batch=args.max_batch,
+                max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
+                pcm16_transfer=args.pcm16,
+                request_timeout_s=args.timeout_s,
+                max_batch_limit=limit,
+            ).start()
+            host, port = server.address[:2]
+            batcher = server.batcher
         else:
-            def submit(text, timeout):
-                audio = batcher.synthesize(text, timeout=timeout)
-                return _audio_seconds_inproc(audio, sr)
+            batcher = DynamicBatcher(
+                pipe, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+                max_queue=args.max_queue, pcm16_transfer=args.pcm16,
+                max_batch_limit=limit,
+            ).start()
+            server = None
 
-        runs = []  # (rate|None, lats, audio_s, rejected, wall, n_sent, hist)
-        prev_hist = {}
+        try:
+            print(f"[{label or 'default'}] warmup (compiling every batch "
+                  "bucket + fused path)...", file=sys.stderr)
+            t0 = time.perf_counter()
+            batcher.warmup()
+            print(f"warmup done in {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr)
 
-        def _hist_delta():
-            # batcher counters are cumulative; report per-run dispatches.
-            nonlocal prev_hist
-            cur = dict(batcher.stats()["batch_size_hist"])
-            delta = {k: v - prev_hist.get(k, 0) for k, v in cur.items()
-                     if v - prev_hist.get(k, 0) > 0}
-            prev_hist = cur
-            return delta
+            if args.http:
+                def submit(text, timeout):
+                    return _http_synthesize(host, port, text, timeout) / sr
+            else:
+                def submit(text, timeout, b=batcher):
+                    audio = b.synthesize(text, timeout=timeout)
+                    return _audio_seconds_inproc(audio, sr)
 
-        if mode == "open":
-            for rate in offered_rates:
-                lats, audio_s, rejected, wall = open_loop(
-                    batcher, sr, rate, args.requests, args.timeout_s,
+            prev_hist = {}
+
+            def _hist_delta(b=batcher):
+                # batcher counters are cumulative; report per-run numbers.
+                nonlocal prev_hist
+                cur = dict(b.stats()["batch_size_hist"])
+                delta = {k: v - prev_hist.get(k, 0) for k, v in cur.items()
+                         if v - prev_hist.get(k, 0) > 0}
+                prev_hist = cur
+                return delta
+
+            if mode == "open":
+                for rate in offered_rates:
+                    lats, audio_s, rejected, wall = open_loop(
+                        batcher, sr, rate, args.requests, args.timeout_s,
+                    )
+                    runs.append((label, limit, rate, lats, audio_s, rejected,
+                                 wall, args.requests, _hist_delta()))
+            else:
+                lats, audio_s, rejected, wall = closed_loop(
+                    submit, args.clients, args.requests, args.timeout_s,
                 )
-                runs.append((rate, lats, audio_s, rejected, wall,
-                             args.requests, _hist_delta()))
-        else:
-            lats, audio_s, rejected, wall = closed_loop(
-                submit, args.clients, args.requests, args.timeout_s,
-            )
-            runs.append((None, lats, audio_s, rejected, wall,
-                         args.clients * args.requests, _hist_delta()))
-    finally:
-        (server.stop() if server else batcher.stop())
+                runs.append((label, limit, None, lats, audio_s, rejected,
+                             wall, args.clients * args.requests,
+                             _hist_delta()))
+        finally:
+            (server.stop() if server else batcher.stop())
 
-    for rate, lats, audio_s, rejected, wall, n_sent, hist in runs:
+    for label, limit, rate, lats, audio_s, rejected, wall, n_sent, hist \
+            in runs:
         lats_sorted = sorted(lats)
         completed = len(lats)
         payload = {
@@ -306,6 +326,8 @@ def main() -> None:
             "unit": "req/s",
             "mode": mode,
             "transport": transport,
+            "batcher": label,
+            "max_batch_limit": limit,
             "clients": args.clients if mode == "closed" else None,
             "offered_qps": rate,
             "requests_sent": n_sent,

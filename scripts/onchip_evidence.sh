@@ -44,4 +44,20 @@ run tests_pipeline env IRIS_TEST_PLATFORM=native python -m pytest \
 run tests_stream env IRIS_TEST_PLATFORM=native python -m pytest \
     tests/test_stream_vocode.py -q -x
 
+# 6. Vocoder per-stage profile at the B=8 serving point (round-4
+#    roofline evidence: docs/PERF.md).
+run profile_vocoder_b8 python scripts/profile_vocoder.py \
+    --seconds 12 --batch 8 --dtype bf16
+
+# 7. Serving knee A/B: fixed max_batch=8 vs adaptive growth to 64,
+#    one process (the jit cache is shared, so the floor is paid once).
+run serve_ab python scripts/bench_serve.py \
+    --offered_qps 8,16,24,32 --requests 120 --pcm16 \
+    --ab_max_batch_limit 64
+
+# 8. Native serving host on chip (env-gated pjrt_runner tests: artifact
+#    execute + full text→WAV request loop).
+run tests_pjrt env IRIS_TEST_PLATFORM=native python -m pytest \
+    tests/test_pjrt_runner.py -q
+
 echo "done — see $OUT/" | tee -a "$OUT/log.txt"

@@ -275,6 +275,24 @@ def test_bench_serve_cli(small_cfg_file):
     assert payload["value"] > 0
 
 
+def test_bench_serve_cli_ab(small_cfg_file):
+    """--ab_max_batch_limit runs the fixed baseline AND the adaptive
+    batcher in one process: one JSON line per config, labelled."""
+    r = _run([
+        "scripts/bench_serve.py", "--config", str(small_cfg_file),
+        "--clients", "2", "--requests", "2",
+        "--phoneme_buckets", "16,32", "--frame_buckets", "32,64",
+        "--max_batch", "2", "--ab_max_batch_limit", "4",
+    ], timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(l) for l in r.stdout.splitlines() if l.strip()]
+    assert [row["batcher"] for row in rows] == ["fixed", "adaptive"]
+    assert rows[0]["max_batch_limit"] is None
+    assert rows[1]["max_batch_limit"] == 4
+    assert all(row["requests_completed"] == 4 for row in rows)
+    assert all(row["value"] > 0 for row in rows)
+
+
 def test_make_synthetic_corpus_cli(tmp_path):
     r = _run(["scripts/make_synthetic_corpus.py", "--root",
               str(tmp_path / "c"), "--n", "3"])

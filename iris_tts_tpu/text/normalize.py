@@ -24,7 +24,12 @@ _ABBREVIATIONS = [
         (r"mrs\.", "missus"),
         (r"mr\.", "mister"),
         (r"dr\.", "doctor"),
-        (r"st\.", "saint"),
+        # st. is context-sensitive (saint/street) — see _expand_st below.
+        (r"ave\.", "avenue"),
+        (r"blvd\.", "boulevard"),
+        # "Maple Rd." → road, but "3rd." is an ordinal — gate on no digit.
+        (r"(?<![0-9])rd\.", "road"),
+        (r"mt\.", "mount"),
         (r"co\.", "company"),
         (r"jr\.", "junior"),
         (r"sr\.", "senior"),
@@ -52,6 +57,30 @@ _MONTHS = (
     "january|february|march|april|may|june|july|august|september|october|"
     "november|december"
 )
+
+# "St." is the one genuinely ambiguous abbreviation (saint vs street) — a
+# WFST normalizer disambiguates it by context and so do we, case-sensitively
+# before lowercasing (classify-then-verbalize, reference text.py:69-77):
+#   1. "St." introducing a capitalized name reads as saint
+#      ("St. Louis", "Visit St. James").
+#   2. "St." after a capitalized or ordinal street name, NOT followed by a
+#      capitalized word, reads as street ("Main St. at noon", "42nd St.").
+#   3. anything left (lowercase input, no usable context) falls back to
+#      saint — the pre-round-5 behavior.
+# Residual ambiguity ("Main St. The next day" — a street at sentence end
+# followed by a new sentence) resolves to saint; no local rule can tell
+# that apart from "the St. James Gate".
+_RE_ST_SAINT = re.compile(r"\bSt\.\s*(?=[A-Z])")
+_RE_ST_STREET = re.compile(
+    r"\b([A-Z][a-z]+|\d+(?:st|nd|rd|th))\s+St\.(?!\s*[A-Z])"
+)
+_RE_ST_FALLBACK = re.compile(r"\bst\.", re.IGNORECASE)
+
+
+def _expand_st(text: str) -> str:
+    text = _RE_ST_SAINT.sub("saint ", text)
+    text = _RE_ST_STREET.sub(r"\1 street", text)
+    return _RE_ST_FALLBACK.sub("saint", text)
 
 # Roman numerals are expanded only in context (NeMo's classify-then-verbalize
 # approach, reference text.py:69-77): a counting noun before the numeral
@@ -173,6 +202,7 @@ def normalize_text(text: str) -> str:
     for src, dst in _UNICODE_MAP.items():
         text = text.replace(src, dst)
     text = unicodedata.normalize("NFKC", text)
+    text = _expand_st(text)  # context-sensitive; needs original case
     for pattern, full in _ABBREVIATIONS:
         text = pattern.sub(full, text)
     text = _expand_romans(text)  # case-sensitive: must precede lowercasing

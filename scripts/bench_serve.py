@@ -221,6 +221,19 @@ def main() -> None:
     args = ap.parse_args()
     setup_logging()
 
+    # Flag-conflict checks BEFORE model init, same principle as the _rates
+    # validator: a bad flag combination must not surface only after minutes
+    # of TTSPipeline.initialize.
+    if args.offered_qps and args.http:
+        ap.error("--offered_qps is in-process only (no --http)")
+    if args.ab_max_batch_limit is not None and args.http:
+        ap.error("--ab_max_batch_limit is in-process only (no --http)")
+    if args.ab_max_batch_limit is not None and args.max_batch_limit is not None:
+        # Silently forcing the fixed baseline to limit=None would discard
+        # the user's --max_batch_limit; make the conflict explicit.
+        ap.error("--ab_max_batch_limit runs its own fixed(None) baseline; "
+                 "drop --max_batch_limit")
+
     import jax
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -233,14 +246,9 @@ def main() -> None:
             int(x) for x in args.frame_buckets.split(","))
     sr = pipe.config.audio.sample_rate
 
-    if args.offered_qps and args.http:
-        ap.error("--offered_qps is in-process only (no --http)")
-
     offered_rates = args.offered_qps or []
     mode = "open" if offered_rates else "closed"
     transport = "http" if args.http else "inproc"
-    if args.ab_max_batch_limit is not None and args.http:
-        ap.error("--ab_max_batch_limit is in-process only (no --http)")
 
     # Batcher configurations to measure. --ab_max_batch_limit N runs the
     # fixed-batch baseline AND the adaptive config back-to-back in ONE
@@ -281,8 +289,11 @@ def main() -> None:
                   file=sys.stderr)
 
             if args.http:
-                def submit(text, timeout):
-                    return _http_synthesize(host, port, text, timeout) / sr
+                # default-arg binding for symmetry with the inproc branch:
+                # http is single-config today (A/B+http is rejected above),
+                # but late-bound closures would be a trap if that changes.
+                def submit(text, timeout, h=host, p=port):
+                    return _http_synthesize(h, p, text, timeout) / sr
             else:
                 def submit(text, timeout, b=batcher):
                     audio = b.synthesize(text, timeout=timeout)

@@ -111,12 +111,47 @@ def gen_cases(rng: random.Random):
     for _ in range(20):
         a, b, c = rng.randint(200, 999), rng.randint(200, 999), rng.randint(1000, 9999)
         yield "phone", f"Call {a}-{b}-{c} for assistance."
-    for _ in range(20):
-        abbr = rng.choice(["Dr.", "Mr.", "Mrs.", "St.", "Ave.", "No.",
-                           "etc.", "vs.", "Jr.", "Sr."])
-        yield "abbreviation", f"Ask {abbr} Brown about it." if abbr in (
-            "Dr.", "Mr.", "Mrs.", "Jr.", "Sr.") else f"They met on Main {abbr} at noon." if abbr in (
-            "St.", "Ave.") else f"Bring maps, food, {abbr} as needed."
+    surnames = ["Brown", "Clark", "Reyes", "Okafor", "Nguyen", "Patel",
+                "Walsh", "Kim"]
+    streets = ["Main", "Elm", "Oak", "Baker", "Union", "Maple", "Harbor"]
+    saints = ["James", "Louis", "Patrick", "Helena", "Clair", "Thomas"]
+    for _ in range(30):
+        kind = rng.randrange(5)
+        if kind == 0:  # title + surname
+            abbr = rng.choice(["Dr.", "Mr.", "Mrs.", "Jr.", "Sr.", "Rev.",
+                               "Capt.", "Lt."])
+            who = rng.choice(surnames)
+            if abbr in ("Jr.", "Sr."):
+                yield "abbreviation", f"Ask {who} {abbr} about it."
+            else:
+                yield "abbreviation", f"Ask {abbr} {who} about it."
+        elif kind == 1:  # street-sense St./Ave./Blvd./Rd.
+            road = rng.choice(["St.", "Ave.", "Blvd.", "Rd."])
+            name = rng.choice(streets)
+            yield "abbreviation", rng.choice([
+                f"They met on {name} {road} at noon.",
+                f"Go down {name} {road} and turn left.",
+                f"The shop on {name} {road} never closes.",
+            ])
+        elif kind == 2:  # saint-sense St.
+            name = rng.choice(saints)
+            yield "abbreviation", rng.choice([
+                f"Visit St. {name} for the festival.",
+                f"The church of St. {name} rang its bells.",
+            ])
+        elif kind == 3:  # etc./vs.
+            abbr = rng.choice(["etc.", "vs."])
+            if abbr == "vs.":
+                a, b = rng.sample(surnames, 2)
+                yield "abbreviation", f"The case of {a} vs. {b} continues."
+            else:
+                yield "abbreviation", "Bring maps, food, etc. as needed."
+        else:  # Mt. / Fort / No.
+            yield "abbreviation", rng.choice([
+                f"Mt. {rng.choice(saints)} towers over the valley.",
+                f"Take the No. {rng.randint(2, 99)} bus.",
+                f"Ft. {rng.choice(surnames)} held out for weeks.",
+            ])
 
 
 def main() -> None:
@@ -131,7 +166,15 @@ def main() -> None:
     rng = random.Random(args.seed)
     by_class: dict[str, list[tuple[str, str]]] = {}
     problems = []
+    seen: set[str] = set()
+    dropped = 0
     for cls, src in gen_cases(rng):
+        if src in seen:
+            # Identical sentences inflate the case count without adding
+            # coverage — keep the golden strictly distinct.
+            dropped += 1
+            continue
+        seen.add(src)
         out = normalize_text(src)
         # property checks: no digits survive; idempotent
         if any(ch.isdigit() for ch in out):
@@ -141,7 +184,8 @@ def main() -> None:
         by_class.setdefault(cls, []).append((src, out))
 
     total = sum(len(v) for v in by_class.values())
-    print(f"{total} cases in {len(by_class)} classes", file=sys.stderr)
+    print(f"{total} distinct cases in {len(by_class)} classes "
+          f"({dropped} duplicates dropped)", file=sys.stderr)
     if problems:
         print(f"{len(problems)} PROPERTY FAILURES:", file=sys.stderr)
         for cls, src, out, why in problems[:20]:

@@ -31,45 +31,57 @@ def read_metrics(path: Path):
     return series
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--run", type=Path, required=True)
-    ap.add_argument("--out", type=Path, required=True)
-    args = ap.parse_args()
+def plot_stage(csv_path: Path, dest: Path, title: str) -> bool:
+    """Render one stage's metrics.csv as a log-scale curve PNG at dest.
+
+    Returns False (and writes nothing) when the csv is missing or empty.
+    """
+    if not csv_path.exists():
+        return False
+    series = read_metrics(csv_path)
+    if not series:
+        return False
 
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for name, pts in sorted(series.items()):
+        pts.sort()
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        ax.plot(xs, ys, label=name, linewidth=1.2)
+    ax.set_xlabel("step")
+    ax.set_ylabel("value")
+    ax.set_yscale("log")
+    ax.set_title(title)
+    ax.legend(fontsize=7, ncol=2)
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(dest, dpi=110)
+    plt.close(fig)
+    return True
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--run", type=Path, required=True)
+    ap.add_argument("--out", type=Path, required=True)
+    args = ap.parse_args()
+
     args.out.mkdir(parents=True, exist_ok=True)
     made = 0
     for stage in ("encoder", "vae", "postnet", "hifigan_gan"):
         csv_path = args.run / stage / "metrics.csv"
-        if not csv_path.exists():
-            print(f"skip {stage}: no {csv_path}", file=sys.stderr)
-            continue
-        series = read_metrics(csv_path)
-        if not series:
-            continue
-        fig, ax = plt.subplots(figsize=(7, 4))
-        for name, pts in sorted(series.items()):
-            pts.sort()
-            xs = [p[0] for p in pts]
-            ys = [p[1] for p in pts]
-            ax.plot(xs, ys, label=name, linewidth=1.2)
-        ax.set_xlabel("step")
-        ax.set_ylabel("value")
-        ax.set_yscale("log")
-        ax.set_title(f"{stage} training metrics")
-        ax.legend(fontsize=7, ncol=2)
-        ax.grid(True, alpha=0.3)
-        fig.tight_layout()
         dest = args.out / f"curves_{stage}.png"
-        fig.savefig(dest, dpi=110)
-        plt.close(fig)
-        print(f"wrote {dest}")
-        made += 1
+        if plot_stage(csv_path, dest, f"{stage} training metrics"):
+            print(f"wrote {dest}")
+            made += 1
+        else:
+            print(f"skip {stage}: no data in {csv_path}", file=sys.stderr)
     if not made:
         sys.exit("no metrics found")
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -41,8 +42,70 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# stage CLI name → subdirectory the stage writes under --output_dir
+STAGE_DIRS = {
+    "encoder": "encoder",
+    "vae": "vae",
+    "postnet": "postnet",
+    "hifigan": "hifigan_gan",
+}
 
-def run_stage(name: str, main_fn, argv: list[str]) -> float:
+
+def write_stage_evidence(
+    out_root: Path,
+    evidence_dir: Path | None,
+    stage: str,
+    seconds: float,
+    partial: bool = False,
+) -> None:
+    """Snapshot one stage's metrics + config + loss curve into the evidence
+    directory THE MOMENT the stage finishes (or is preempted), so a run cut
+    at a session boundary still leaves committable proof for every stage
+    that completed — evidence must not only materialize at the very end of
+    a multi-hour run."""
+    if evidence_dir is None:
+        return
+    stage_dir = STAGE_DIRS.get(stage, stage)
+    src = out_root / stage_dir
+    dst = evidence_dir / "stages" / stage_dir
+    dst.mkdir(parents=True, exist_ok=True)
+    snapshot: dict = {
+        "stage": stage_dir,
+        "seconds": round(seconds, 1),
+        "partial": partial,
+    }
+    mcsv = src / "metrics.csv"
+    if mcsv.exists():
+        shutil.copy2(mcsv, dst / "metrics.csv")
+        from scripts.plot_training_curves import plot_stage, read_metrics
+
+        series = read_metrics(mcsv)
+        last: dict = {}
+        last_step = None
+        for name, pts in series.items():
+            pts.sort()
+            if pts:
+                last[name] = round(pts[-1][1], 6)
+                last_step = max(last_step or 0, pts[-1][0])
+        snapshot["final_metrics"] = dict(sorted(last.items()))
+        snapshot["last_step"] = last_step
+        try:
+            plot_stage(mcsv, dst / "curves.png", f"{stage_dir} training metrics")
+        except Exception as e:  # a plot failure must not kill the run
+            logger.warning("curve plot for %s failed: %s", stage_dir, e)
+    for cfg in src.glob("config_*.json"):
+        shutil.copy2(cfg, dst / cfg.name)
+    (dst / "snapshot.json").write_text(json.dumps(snapshot, indent=2))
+    logger.info("stage evidence written to %s", dst)
+
+
+def run_stage(
+    name: str,
+    main_fn,
+    argv: list[str],
+    out_root: Path,
+    evidence_dir: Path | None = None,
+) -> float:
     """Run one stage CLI in-process with the given argv; returns seconds."""
     logger.info("=== stage %s: %s ===", name, " ".join(argv))
     saved_argv = sys.argv
@@ -60,11 +123,13 @@ def run_stage(name: str, main_fn, argv: list[str]) -> float:
         # NEXT stage against a half-trained upstream would silently produce
         # a "complete" but wrong run — stop the whole driver instead; a
         # rerun with the same --output_dir resumes every stage in place.
+        write_stage_evidence(out_root, evidence_dir, name, dt, partial=True)
         logger.warning(
             "=== stage %s preempted after %.1fs — stopping the pipeline "
             "(rerun with the same --output_dir to resume) ===", name, dt,
         )
         sys.exit(75)  # EX_TEMPFAIL
+    write_stage_evidence(out_root, evidence_dir, name, dt)
     logger.info("=== stage %s done in %.1fs ===", name, dt)
     return dt
 
@@ -206,6 +271,47 @@ def evaluate(args, out_root: Path) -> dict:
     pipe.save(artifact, half=args.artifact_half)
     logger.info("pipeline artifact saved to %s%s", artifact,
                 " (float16 params)" if args.artifact_half else "")
+
+    # --- post-export smoke-eval: reload the artifact from disk and re-score
+    # held-out utterances against the pre-save model's numbers. The save/load
+    # tree-equality test can't catch a meta/vocab export bug that changes the
+    # SOUND of the artifact; this can. fp16 artifacts round weights ~1e-4
+    # relative, so allow a small MCD drift there.
+    tol_db = 0.25 if args.artifact_half else 0.02
+    reloaded = TTSPipeline.load(artifact)
+    smoke_rows = []
+    for i in range(min(3, n_eval)):
+        gt = val_ds[i]
+        mel_a = reloaded.synthesize_mel(gt.text, seed=0, temperature=0.0)
+        q = quality_report(mel_a, gt.mel, align="dtw")
+        smoke_rows.append({
+            "i": i,
+            "mcd_db": round(q["mcd_db"], 4),
+            "pre_save_mcd_db": round(rows[i]["mcd_db"], 4),
+            "delta_db": round(q["mcd_db"] - rows[i]["mcd_db"], 4),
+        })
+    max_delta = max(
+        (abs(r["delta_db"]) for r in smoke_rows), default=0.0
+    )
+    summary["artifact_smoke"] = {
+        "params_dtype": "float16" if args.artifact_half else "float32",
+        "tol_db": tol_db,
+        "max_abs_delta_db": round(max_delta, 4),
+        "ok": max_delta <= tol_db,
+        "samples": smoke_rows,
+    }
+    if max_delta <= tol_db:
+        logger.info(
+            "artifact smoke-eval OK: reloaded-artifact MCD within "
+            "%.2f dB of pre-save model (max delta %.4f dB)", tol_db, max_delta,
+        )
+    else:
+        logger.error(
+            "artifact smoke-eval FAILED: reloaded artifact drifts %.4f dB "
+            "MCD from the pre-save model (tol %.2f) — export bug?",
+            max_delta, tol_db,
+        )
+    (eval_dir / "summary.json").write_text(json.dumps(summary, indent=2))
     return summary
 
 
@@ -237,6 +343,15 @@ def main() -> None:
                         help="store the pipeline artifact's params as "
                         "float16 (half size; ~1e-4 relative rounding)")
     parser.add_argument("--eval_temperature", type=float, default=0.7)
+    parser.add_argument("--evidence_dir", type=str, default=None,
+                        help="directory that receives per-stage evidence "
+                        "(metrics, curves, snapshots) AS EACH STAGE "
+                        "COMPLETES, plus the final eval summary/wavs — "
+                        "point it at a git-tracked path so a preempted run "
+                        "still leaves committable proof")
+    parser.add_argument("--release_dir", type=str, default=None,
+                        help="also copy the final pipeline artifact here "
+                        "(e.g. release/pipeline_artifact)")
     parser.add_argument("--skip_encoder", action="store_true")
     parser.add_argument("--skip_vae", action="store_true")
     parser.add_argument("--skip_postnet", action="store_true")
@@ -250,7 +365,20 @@ def main() -> None:
     setup_logging(args.verbose)
     out_root = Path(args.output_dir)
     out_root.mkdir(parents=True, exist_ok=True)
+    evidence_dir = Path(args.evidence_dir) if args.evidence_dir else None
+    if evidence_dir:
+        evidence_dir.mkdir(parents=True, exist_ok=True)
     timings: dict = {}
+
+    def save_timings() -> None:
+        """Progressively persisted so a cut-off run still reports stage
+        costs (for budgeting the rerun)."""
+        payload = json.dumps(
+            {k: round(v, 1) for k, v in timings.items()}, indent=2
+        )
+        (out_root / "timings.json").write_text(payload)
+        if evidence_dir:
+            (evidence_dir / "timings.json").write_text(payload)
 
     common = [
         "--data_root", args.data_root,
@@ -272,21 +400,24 @@ def main() -> None:
         timings["encoder_s"] = run_stage("encoder", encoder_main, common + [
             "--num_epochs", str(args.encoder_epochs),
             "--learning_rate", str(args.encoder_lr),
-        ])
+        ], out_root, evidence_dir)
+        save_timings()
     if not args.skip_vae:
         from scripts.train_vae import main as vae_main
 
         timings["vae_s"] = run_stage("vae", vae_main, common + [
             "--num_epochs", str(args.vae_epochs),
             "--learning_rate", str(args.vae_lr),
-        ])
+        ], out_root, evidence_dir)
+        save_timings()
     if not args.skip_postnet:
         from scripts.train_postnet import main as postnet_main
 
         timings["postnet_s"] = run_stage("postnet", postnet_main, common + [
             "--num_epochs", str(args.postnet_epochs),
             "--learning_rate", str(args.postnet_lr),
-        ])
+        ], out_root, evidence_dir)
+        save_timings()
     if not args.skip_gan:
         from scripts.train_hifigan import main as gan_main
 
@@ -300,19 +431,39 @@ def main() -> None:
             "--segment_frames", str(args.segment_frames),
             "--disc_width", str(args.disc_width),
             "--ema_decay", str(args.ema_decay),
-        ])
+        ], out_root, evidence_dir)
+        save_timings()
 
+    summary = None
     if not args.skip_eval:
         t0 = time.time()
         summary = evaluate(args, out_root)
         timings["eval_s"] = round(time.time() - t0, 1)
+        save_timings()
         summary["stage_timings_s"] = {
             k: round(v, 1) for k, v in timings.items()
         }
         (out_root / "eval" / "summary.json").write_text(
             json.dumps(summary, indent=2)
         )
+        if evidence_dir:
+            # eval evidence: summary, per-utterance quality, listening wavs
+            dst = evidence_dir / "eval"
+            if dst.exists():
+                shutil.rmtree(dst)
+            shutil.copytree(out_root / "eval", dst)
+            logger.info("eval evidence copied to %s", dst)
+        if args.release_dir:
+            rel = Path(args.release_dir)
+            if rel.exists():
+                shutil.rmtree(rel)
+            shutil.copytree(out_root / "pipeline_artifact", rel)
+            logger.info("release artifact copied to %s", rel)
     logger.info("full pipeline run complete: %s", timings)
+    if summary is not None:
+        smoke = summary.get("artifact_smoke")
+        if smoke is not None and not smoke["ok"]:
+            sys.exit(1)
 
 
 if __name__ == "__main__":

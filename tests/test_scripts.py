@@ -314,8 +314,79 @@ def test_train_full_pipeline_help():
     r = _run(["scripts/train_full_pipeline.py", "--help"], timeout=120)
     assert r.returncode == 0
     for flag in ("--encoder_epochs", "--gan_epochs", "--artifact_half",
-                 "--skip_eval"):
+                 "--skip_eval", "--evidence_dir", "--release_dir"):
         assert flag in r.stdout
+
+
+@pytest.mark.integration
+def test_train_full_pipeline_end_to_end(tmp_path):
+    """The capstone driver end-to-end at toy scale: four stages in one
+    process → held-out eval → fp16 artifact → post-export smoke-eval (the
+    reloaded artifact must score within tolerance of the pre-save model) →
+    per-stage evidence snapshots written AS STAGES COMPLETE."""
+    from tests.corpus_utils import build_mini_corpus
+
+    cfg = dict(SMALL_CFG)
+    # hop must equal the tiny generator's total upsample (4*2)
+    cfg["audio"] = {"n_fft": 64, "hop_length": 8, "win_length": 64,
+                    "n_mels": 16}
+    cfg["vae"] = dict(cfg["vae"], flow_prior=True)
+    cfg["train"] = {"checkpoint_every_epochs": 1}
+    cfg_file = tmp_path / "cfg.json"
+    cfg_file.write_text(json.dumps(cfg))
+
+    root, align = build_mini_corpus(tmp_path, n=24)
+    out = tmp_path / "run"
+    evidence = tmp_path / "evidence"
+    release = tmp_path / "release" / "pipeline_artifact"
+    r = _run([
+        "scripts/train_full_pipeline.py",
+        "--config", str(cfg_file),
+        "--data_root", str(root),
+        "--alignment_dir", str(align),
+        "--cache_dir", str(tmp_path / "cache"),
+        "--output_dir", str(out),
+        "--batch_size", "4",
+        "--encoder_epochs", "1", "--vae_epochs", "1",
+        "--postnet_epochs", "1", "--gan_epochs", "1",
+        "--gan_batch", "2", "--segment_frames", "16",
+        "--disc_width", "0.05", "--ema_decay", "0.9",
+        "--eval_samples", "1",
+        "--artifact_half",
+        "--evidence_dir", str(evidence),
+        "--release_dir", str(release),
+    ], timeout=1500)
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-3000:])
+
+    # per-stage evidence: metrics + snapshot for every stage
+    for stage in ("encoder", "vae", "postnet", "hifigan_gan"):
+        sdir = evidence / "stages" / stage
+        assert (sdir / "metrics.csv").exists(), stage
+        snap = json.loads((sdir / "snapshot.json").read_text())
+        assert snap["stage"] == stage and not snap["partial"]
+        assert snap["seconds"] > 0 and snap["final_metrics"]
+
+    # eval summary with the control-margin fields + the smoke verdict
+    summary = json.loads((evidence / "eval" / "summary.json").read_text())
+    for key in ("mcd_db", "control_mcd_db", "mcd_margin_db",
+                "duration_mae_frames", "resynth_mcd_db"):
+        assert key in summary, key
+    smoke = summary["artifact_smoke"]
+    assert smoke["ok"], smoke
+    assert smoke["params_dtype"] == "float16"
+    assert len(smoke["samples"]) >= 1
+    assert (evidence / "timings.json").exists()
+
+    # the released artifact loads and synthesizes through the public API
+    check = (
+        "from iris_tts_tpu.models.pipeline import TTSPipeline; "
+        f"p = TTSPipeline.load({str(release)!r}); "
+        "a = p.synthesize('hello world', seed=0); "
+        "assert a.ndim == 1 and len(a) > 0; print('artifact ok')"
+    )
+    r2 = _run(["-c", check], timeout=900)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "artifact ok" in r2.stdout
 
 
 def test_plot_training_curves_cli(tmp_path):

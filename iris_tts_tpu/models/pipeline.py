@@ -104,6 +104,31 @@ def host_pcm16(audio: np.ndarray) -> np.ndarray:
     return (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
 
 
+def pack_fused_request(ids_np: np.ndarray, lengths_np: np.ndarray,
+                       seed: int, temperature: float) -> np.ndarray:
+    """[B, P] ids + [B] lengths + scalar seed/temperature → ONE [B, P+3]
+    int32 array (the fused path's single host→device transfer; see
+    ``TTSPipeline._fused_packed_fn``)."""
+    b, p = ids_np.shape
+    packed = np.empty((b, p + 3), np.int32)
+    packed[:, :p] = ids_np
+    packed[:, p] = lengths_np
+    packed[:, p + 1] = np.int32(int(seed) & 0x7FFFFFFF)
+    packed[:, p + 2] = np.array(temperature, np.float32).view(np.int32)
+    return packed
+
+
+def unpack_fused_reply(packed_np) -> tuple:
+    """The fused reply's single device→host array → (audio rows [B, S] in
+    the wire dtype, frame counts [B] int32, overflow deficits [B] int32).
+    The meta tail is 2 int32 per row, bit-packed in the audio dtype (2
+    trailing columns for 4-byte dtypes, 4 for 2-byte ones)."""
+    arr = np.asarray(packed_np)
+    tail = 8 // arr.dtype.itemsize
+    meta = np.ascontiguousarray(arr[:, -tail:]).view(np.int32)
+    return arr[:, :-tail], meta[:, 0], meta[:, 1]
+
+
 @dataclass
 class TTSPipeline:
     """End-to-end text-to-speech pipeline (public API parity with the
@@ -139,6 +164,15 @@ class TTSPipeline:
     # or "gaussian" (soft Gaussian upsampling — smooths phoneme boundaries in
     # the frame conditioning; new functionality, ops/length.py).
     upsample: str = "hard"
+    # Single-transfer wire format for the fused path (default on): tunneled
+    # backends pay a fixed per-array cost each way, so the request rides as
+    # ONE [B, P+3] int32 array (ids + length + seed + temperature bits) and
+    # the reply as ONE array with the frame counts / overflow deficits
+    # bit-packed after the audio samples — 2 transfers per call instead of
+    # 5 (ids, lengths, seed up; audio, n_frames, deficit down). Equality
+    # with the unpacked path is pinned by tests/test_pipeline.py. Off-mesh,
+    # waveform-only calls only; anything else falls back transparently.
+    packed_fetch: bool = True
     # Optional data-parallel serving mesh (set via use_mesh(); None =
     # single-device). When set, every synthesis entry point pads the batch
     # to the data-axis multiple and shards the batch dim — GSPMD propagates
@@ -170,6 +204,11 @@ class TTSPipeline:
         )
         self._fused = jax.jit(
             self._fused_fn,
+            static_argnames=("total_frames", "use_postnet", "upsample",
+                             "pcm16"),
+        )
+        self._fused_packed = jax.jit(
+            self._fused_packed_fn,
             static_argnames=("total_frames", "use_postnet", "upsample",
                              "pcm16"),
         )
@@ -638,6 +677,44 @@ class TTSPipeline:
         audio = self._apply_hifigan(params, mel)
         return self._maybe_pcm16(audio, pcm16), mel, n_frames, deficit
 
+    def _fused_packed_fn(self, params, packed, *, total_frames,
+                         use_postnet=True, upsample="hard", pcm16=False):
+        """Single-transfer wire format over :meth:`_fused_fn`.
+
+        ``packed`` is ONE [B, P+3] int32 array: each row's phoneme ids,
+        then its length, then the (replicated) seed, then the float32
+        temperature's bits (temperature stays TRACED — it is data, so a
+        new temperature never recompiles). The reply is ONE array in the
+        audio dtype with each row's frame count and overflow deficit
+        bit-packed after its samples. Host codecs:
+        :func:`pack_fused_request` / :func:`unpack_fused_reply`.
+        """
+        p = packed.shape[1] - 3
+        ids = packed[:, :p]
+        lengths = packed[:, p]
+        seed = packed[0, p + 1]
+        temperature = jax.lax.bitcast_convert_type(
+            packed[0, p + 2], jnp.float32
+        )
+        audio, _mel, n_frames, deficit = self._fused_fn(
+            params, ids, lengths, seed, total_frames=total_frames,
+            temperature=temperature, use_postnet=use_postnet,
+            upsample=upsample, pcm16=pcm16,
+        )
+        meta = jnp.stack(
+            [n_frames.astype(jnp.int32), deficit.astype(jnp.int32)], axis=1
+        )  # [B, 2] int32
+        if audio.dtype == jnp.int16:
+            meta = jax.lax.bitcast_convert_type(meta, jnp.int16)
+            meta = meta.reshape(meta.shape[0], 4)
+        elif audio.dtype == jnp.bfloat16:
+            meta = jax.lax.bitcast_convert_type(meta, jnp.bfloat16)
+            meta = meta.reshape(meta.shape[0], 4)
+        else:
+            audio = audio.astype(jnp.float32)
+            meta = jax.lax.bitcast_convert_type(meta, jnp.float32)
+        return jnp.concatenate([audio, meta], axis=1)
+
     def _vocode_fn(self, params, mel):
         return self._apply_hifigan(params, mel)
 
@@ -730,13 +807,18 @@ class TTSPipeline:
                 self.fused_frames_per_phoneme,
             )
 
-    def _next_seed(self, seed: Optional[int]) -> jnp.ndarray:
-        """Scalar int32 seed for the jitted stages (no device key ops on
-        the host path)."""
+    def _next_seed_int(self, seed: Optional[int]) -> int:
+        """Resolve the per-call seed on the host (auto-increment when the
+        caller passes None)."""
         if seed is None:
             self._seed_counter += 1
             seed = self.seed + self._seed_counter
-        return jnp.asarray(seed, jnp.int32)
+        return int(seed)
+
+    def _next_seed(self, seed: Optional[int]) -> jnp.ndarray:
+        """Scalar int32 seed for the jitted stages (no device key ops on
+        the host path)."""
+        return jnp.asarray(self._next_seed_int(seed), jnp.int32)
 
     def _text_to_ids_cached(self, text: str) -> np.ndarray:
         ids = self._ids_cache.get(text)
@@ -896,19 +978,34 @@ class TTSPipeline:
         fused=True)`` themselves should pass their batch sizes here.
         """
         pairs = self.fused_bucket_pairs(max_phonemes)
+        packed = self.packed_fetch and self._mesh is None
         for b in batch_sizes:
             for p_bucket, t_bucket in pairs:
                 ids_np = np.full((b, p_bucket), self.vocab.pad_id, np.int32)
                 lengths_np = np.full((b,), p_bucket, np.int32)
-                ids_dev, lengths_dev, _ = self._device_batch(
-                    ids_np, lengths_np
-                )
-                out = self._fused(
-                    self.params, ids_dev, lengths_dev, self._next_seed(0),
-                    total_frames=t_bucket, temperature=temperature,
-                    use_postnet=self.use_postnet, upsample=self.upsample,
-                    pcm16=pcm16,
-                )
+                if packed:
+                    # Warm the variant synthesize() actually dispatches
+                    # (the packed wire format is its own jit cache entry).
+                    req = pack_fused_request(
+                        ids_np, lengths_np, 0, temperature
+                    )
+                    out = self._fused_packed(
+                        self.params, jnp.asarray(req),
+                        total_frames=t_bucket,
+                        use_postnet=self.use_postnet,
+                        upsample=self.upsample, pcm16=pcm16,
+                    )
+                else:
+                    ids_dev, lengths_dev, _ = self._device_batch(
+                        ids_np, lengths_np
+                    )
+                    out = self._fused(
+                        self.params, ids_dev, lengths_dev,
+                        self._next_seed(0),
+                        total_frames=t_bucket, temperature=temperature,
+                        use_postnet=self.use_postnet, upsample=self.upsample,
+                        pcm16=pcm16,
+                    )
                 _force_done(out)
         return len(pairs) * len(batch_sizes)
 
@@ -998,8 +1095,28 @@ class TTSPipeline:
         if fused is None:
             fused = len(texts) == 1
 
-        seed_dev = self._next_seed(seed)
-        if fused:
+        seed_int = self._next_seed_int(seed)
+        seed_dev = jnp.asarray(seed_int, jnp.int32)
+        deficit_np = None
+        if (fused and self.packed_fetch and not return_mel
+                and self._mesh is None):
+            # Single-transfer wire format: ONE upload, ONE fetch (see
+            # _fused_packed_fn). Mesh batches keep the sharded path;
+            # return_mel keeps the multi-array fetch (mel dominates it).
+            ids_np, lengths = self._encode_texts(texts)
+            t_bucket = self._fused_frame_budget(lengths)
+            req = pack_fused_request(ids_np, lengths, seed_int, temperature)
+            reply = self._fused_packed(
+                self.params, jnp.asarray(req), total_frames=t_bucket,
+                use_postnet=self.use_postnet, upsample=self.upsample,
+                pcm16=pcm16,
+            )
+            audio_np, n_frames, deficit_np = unpack_fused_reply(
+                jax.device_get(reply)
+            )
+            mel_np = None
+            self._count_overflows(deficit_np[: len(texts)])
+        elif fused:
             ids_np, lengths = self._encode_texts(texts)
             t_bucket = self._fused_frame_budget(lengths)
             ids_dev, lengths_dev, _ = self._device_batch(ids_np, lengths)
@@ -1021,20 +1138,22 @@ class TTSPipeline:
             deficit = None
 
         hop = self.config.hifigan.total_upsample  # samples per mel frame
-        # ONE batched device→host fetch: separate np.asarray calls each pay
-        # the full per-transfer round trip on tunneled backends. The fused
-        # path's overflow deficit rides the same fetch (observability must
-        # not cost an extra round trip).
-        fetch = [audio, n_frames_arr]
-        if return_mel:
-            fetch.append(mel)
-        if deficit is not None:
-            fetch.append(deficit)
-        fetched = jax.device_get(tuple(fetch))
-        audio_np, n_frames = fetched[0], fetched[1]
-        mel_np = fetched[2] if return_mel else None
-        if deficit is not None:
-            self._count_overflows(fetched[-1][: len(texts)])
+        if deficit_np is None:
+            # ONE batched device→host fetch: separate np.asarray calls each
+            # pay the full per-transfer round trip on tunneled backends. The
+            # fused path's overflow deficit rides the same fetch
+            # (observability must not cost an extra round trip).
+            fetch = [audio, n_frames_arr]
+            if return_mel:
+                fetch.append(mel)
+            if deficit is not None:
+                fetch.append(deficit)
+            fetched = jax.device_get(tuple(fetch))
+            audio_np, n_frames = fetched[0], fetched[1]
+            mel_np = fetched[2] if return_mel else None
+            if deficit is not None:
+                deficit_np = fetched[-1]
+                self._count_overflows(deficit_np[: len(texts)])
         n_frames = n_frames.astype(np.int64)
         audio_np = np.asarray(
             audio_np, np.int16 if pcm16 else np.float32
@@ -1048,13 +1167,13 @@ class TTSPipeline:
             [m[: int(n)] for m, n in zip(mel_np[: len(texts)], n_frames)]
             if return_mel else None
         )
-        if deficit is not None:
+        if deficit_np is not None:
             # Quality guard (fused_overflow_tolerance): rows compressed
             # beyond the tolerated fraction of their PREDICTED frames are
             # redone on the two-stage path with true durations — the fused
             # path never ships speech faster than the tolerance.
             redo = self._overflow_fallback_rows(
-                fetched[-1][: len(texts)], t_bucket
+                deficit_np[: len(texts)], t_bucket
             )
             if redo:
                 r_outs, r_mels = self._two_stage_rows(

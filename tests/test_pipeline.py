@@ -106,13 +106,16 @@ def test_warmup_fused_covers_every_bucket_pair(pipeline):
         assert (p, t) in pairs
     n = pipeline.warmup_fused()
     assert n == len(pairs)
-    cache = pipeline._fused._cache_size()
+    # The packed wire format is the live dispatch path — warmup must have
+    # compiled exactly the executables synthesize() will hit.
+    cache = pipeline._fused_packed._cache_size()
+    assert cache >= len(pairs)
     pipeline.synthesize("hi", seed=0, fused=True)
     pipeline.synthesize(
         "a considerably longer sentence that lands in the larger phoneme "
         "bucket of this tiny test ladder", seed=0, fused=True,
     )
-    assert pipeline._fused._cache_size() == cache
+    assert pipeline._fused_packed._cache_size() == cache
 
 
 def test_fused_overflow_compresses_durations(pipeline):
@@ -179,6 +182,33 @@ def test_fused_overflow_guard_falls_back_to_two_stage(pipeline):
     assert pipe3.fused_fallback_count == 0
     assert pipe3.fused_overflow_count == 1
     assert len(a3) == 8 * pipe3.config.hifigan.total_upsample
+
+
+def test_packed_fetch_matches_unpacked(pipeline):
+    """The single-transfer wire format (packed ids/length/seed/temperature
+    up, audio + bit-packed frame counts down) must produce the same audio
+    as the multi-array fused path, in every wire dtype (f32, int16 PCM,
+    bf16 activations)."""
+    text = "hello world how are you"
+    assert pipeline.packed_fetch  # the serving default
+    pipe_u = dataclasses.replace(pipeline, packed_fetch=False)
+    a_packed = pipeline.synthesize(text, seed=9)
+    a_plain = pipe_u.synthesize(text, seed=9)
+    np.testing.assert_allclose(a_packed, a_plain, rtol=0, atol=1e-6)
+    p16 = pipeline.synthesize(text, seed=9, pcm16=True)
+    u16 = pipe_u.synthesize(text, seed=9, pcm16=True)
+    assert p16.dtype == np.int16
+    np.testing.assert_array_equal(p16, u16)
+    pipe_bf = dataclasses.replace(pipeline, dtype=jnp.bfloat16)
+    pipe_bf_u = dataclasses.replace(pipe_bf, packed_fetch=False)
+    b_p = pipe_bf.synthesize(text, seed=9, temperature=0.0)
+    b_u = pipe_bf_u.synthesize(text, seed=9, temperature=0.0)
+    assert len(b_p) == len(b_u)  # bit-packed frame counts decode exactly
+    np.testing.assert_allclose(b_p, b_u, rtol=0, atol=2e-3)
+    # A non-default temperature is data, not a jit cache key.
+    cache = pipeline._fused_packed._cache_size()
+    pipeline.synthesize(text, seed=9, temperature=0.31)
+    assert pipeline._fused_packed._cache_size() == cache
 
 
 def test_bfloat16_parity_with_float32(pipeline):

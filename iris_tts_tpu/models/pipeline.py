@@ -212,6 +212,11 @@ class TTSPipeline:
             static_argnames=("total_frames", "use_postnet", "upsample",
                              "pcm16"),
         )
+        self._stage_b_packed = jax.jit(
+            self._stage_b_packed_fn,
+            static_argnames=("total_frames", "use_postnet", "upsample",
+                             "pcm16"),
+        )
         self._vocode = jax.jit(self._vocode_fn)
         self._vocode_window = jax.jit(
             self._vocode_window_fn,
@@ -603,6 +608,35 @@ class TTSPipeline:
         )
         audio = self._apply_hifigan(params, mel)
         return self._maybe_pcm16(audio, pcm16), mel, n_frames
+
+    def _stage_b_packed_fn(self, params, enc, frames, seed, *, total_frames,
+                           temperature=1.0, use_postnet=True,
+                           upsample="hard", pcm16=False):
+        """Stage B with the reply as ONE array (audio rows + bit-packed
+        per-row frame counts) — the serving batcher's dispatch/collect
+        split then costs a single device→host transfer per batch. Same
+        bit-packing convention as :meth:`_fused_packed_fn` (2 int32 of
+        meta per row: frame count, and 0 where the fused deficit would
+        be), so :func:`unpack_fused_reply` decodes both."""
+        audio, _mel, n_frames = self._stage_b_fn(
+            params, enc, frames, seed, total_frames=total_frames,
+            temperature=temperature, use_postnet=use_postnet,
+            upsample=upsample, pcm16=pcm16,
+        )
+        meta = jnp.stack(
+            [n_frames.astype(jnp.int32),
+             jnp.zeros_like(n_frames, jnp.int32)], axis=1
+        )
+        if audio.dtype == jnp.int16:
+            meta = jax.lax.bitcast_convert_type(meta, jnp.int16)
+            meta = meta.reshape(meta.shape[0], 4)
+        elif audio.dtype == jnp.bfloat16:
+            meta = jax.lax.bitcast_convert_type(meta, jnp.bfloat16)
+            meta = meta.reshape(meta.shape[0], 4)
+        else:
+            audio = audio.astype(jnp.float32)
+            meta = jax.lax.bitcast_convert_type(meta, jnp.float32)
+        return jnp.concatenate([audio, meta], axis=1)
 
     def _stage_b_mel_fn(self, params, enc, frames, seed, *, total_frames,
                         temperature=1.0, use_postnet=True, upsample="hard"):
@@ -1049,13 +1083,18 @@ class TTSPipeline:
                 )
                 stage_a_out[p_bucket] = (enc, frames)
                 n += 1
+            packed = self.packed_fetch and self._mesh is None
             for p_bucket, (enc, frames) in stage_a_out.items():
                 for i, t_bucket in enumerate(self.frame_buckets):
                     # The smallest frame bucket is always reachable (short
                     # predictions clamp up to it), so never skip i == 0.
                     if i and t_bucket > p_bucket * max_frames_per_phoneme:
                         break
-                    out = self._stage_b(
+                    # Warm the stage-B variant live traffic dispatches:
+                    # the batcher's dispatch/collect split uses the packed
+                    # reply; synthesize(fused=False) the plain one.
+                    stage_b = self._stage_b_packed if packed else self._stage_b
+                    out = stage_b(
                         self.params, enc, frames, self._next_seed(0),
                         total_frames=t_bucket, temperature=temperature,
                         use_postnet=self.use_postnet, upsample=self.upsample,
@@ -1098,6 +1137,7 @@ class TTSPipeline:
         seed_int = self._next_seed_int(seed)
         seed_dev = jnp.asarray(seed_int, jnp.int32)
         deficit_np = None
+        audio_np = None  # set by the packed branches (single-transfer reply)
         if (fused and self.packed_fetch and not return_mel
                 and self._mesh is None):
             # Single-transfer wire format: ONE upload, ONE fetch (see
@@ -1127,6 +1167,22 @@ class TTSPipeline:
                 upsample=self.upsample,
                 pcm16=pcm16,
             )
+        elif (self.packed_fetch and not return_mel
+                and self._mesh is None):
+            # Two-stage with the packed single-transfer reply — the SAME
+            # executable the serving batcher's dispatch/collect split uses,
+            # so one warmup_batched pass covers both entry points.
+            enc, frames, t_bucket = self._run_stage_a(texts)
+            reply = self._stage_b_packed(
+                self.params, enc, frames, seed_dev,
+                total_frames=t_bucket, temperature=temperature,
+                use_postnet=self.use_postnet, upsample=self.upsample,
+                pcm16=pcm16,
+            )
+            audio_np, n_frames, _zero = unpack_fused_reply(
+                jax.device_get(reply)
+            )
+            mel_np = None
         else:
             enc, frames, t_bucket = self._run_stage_a(texts)
             audio, mel, n_frames_arr = self._stage_b(
@@ -1138,7 +1194,7 @@ class TTSPipeline:
             deficit = None
 
         hop = self.config.hifigan.total_upsample  # samples per mel frame
-        if deficit_np is None:
+        if audio_np is None:
             # ONE batched device→host fetch: separate np.asarray calls each
             # pay the full per-transfer round trip on tunneled backends. The
             # fused path's overflow deficit rides the same fetch
@@ -1246,8 +1302,18 @@ class TTSPipeline:
         returns an opaque handle for :meth:`_batched_collect`. Lets a
         serving loop dispatch batch N+1 while batch N's audio is still in
         flight to the host (serve/batcher.py). ``synthesize(fused=False)``
-        is dispatch+collect back to back."""
+        is dispatch+collect back to back. With ``packed_fetch`` (the
+        default, off-mesh) the reply is ONE array — half the per-batch
+        transfer round trips on tunneled backends."""
         enc, frames, t_bucket = self._run_stage_a(texts)
+        if self.packed_fetch and self._mesh is None:
+            reply = self._stage_b_packed(
+                self.params, enc, frames, self._next_seed(seed),
+                total_frames=t_bucket, temperature=temperature,
+                use_postnet=self.use_postnet, upsample=self.upsample,
+                pcm16=pcm16,
+            )
+            return reply, None, len(texts), pcm16
         audio, _mel, n_frames_arr = self._stage_b(
             self.params, enc, frames, self._next_seed(seed),
             total_frames=t_bucket, temperature=temperature,
@@ -1262,8 +1328,13 @@ class TTSPipeline:
         """Fetch + trim a :meth:`_batched_dispatch` handle → list of 1-D
         waveforms (row order preserved)."""
         audio, n_frames_arr, n, pcm16 = disp
-        audio_np, n_frames = jax.device_get((audio, n_frames_arr))
         hop = self.config.hifigan.total_upsample
+        if n_frames_arr is None:  # packed reply: one transfer
+            audio_np, n_frames, _deficit = unpack_fused_reply(
+                jax.device_get(audio)
+            )
+        else:
+            audio_np, n_frames = jax.device_get((audio, n_frames_arr))
         n_frames = np.asarray(n_frames).astype(np.int64)
         audio_np = np.asarray(audio_np, np.int16 if pcm16 else np.float32)
         return [

@@ -412,6 +412,24 @@ def main() -> None:
         pcm_lats.append(time.time() - t0)
     pcm_p50 = sorted(pcm_lats)[len(pcm_lats) // 2]
 
+    # Wire-format A/B: the packed single-transfer path (default) vs the
+    # multi-array fetch — isolates what the 2-transfers-per-call format
+    # buys against this tunnel's per-array cost.
+    pipe.packed_fetch = False
+    pipe.synthesize(text, seed=0)  # compile the unpacked variant
+    unp_lats = []
+    for i in range(11):
+        t0 = time.time()
+        pipe.synthesize(text, seed=i)
+        unp_lats.append(time.time() - t0)
+    pipe.packed_fetch = True
+    unpacked_p50 = sorted(unp_lats)[len(unp_lats) // 2]
+    print(
+        f"bench: p50 public API with multi-array fetch = "
+        f"{unpacked_p50*1e3:.1f} ms (packed wire saves "
+        f"{(unpacked_p50 - api_p50)*1e3:.1f} ms)", file=sys.stderr,
+    )
+
     # Host-side breakdown of the public path (VERDICT r2 item 2).
     def p50_of(fn, n=11):
         ts = []
@@ -514,6 +532,7 @@ def main() -> None:
                 "p50_fused_dispatch_ms": round(p50 * 1e3, 2),
                 "p50_public_api_ms": round(api_p50 * 1e3, 2),
                 "p50_public_api_pcm16_ms": round(pcm_p50 * 1e3, 2),
+                "p50_public_api_unpacked_ms": round(unpacked_p50 * 1e3, 2),
                 **sol,
                 **cold,
             }

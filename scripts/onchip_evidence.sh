@@ -12,7 +12,7 @@ cd "$(dirname "$0")/.."
 run() {
   name="$1"; shift
   echo "=== $name: $*" | tee -a "$OUT/log.txt"
-  timeout 1800 "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
+  timeout "${T:-1800}" "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
   echo "rc=$? ($name)" | tee -a "$OUT/log.txt"
   tail -3 "$OUT/$name.out" | tee -a "$OUT/log.txt"
 }
@@ -51,8 +51,10 @@ run profile_vocoder_b8 python scripts/profile_vocoder.py \
 
 # 7. Serving knee A/B: fixed max_batch=8 vs adaptive growth to 64,
 #    one process (the jit cache is shared, so the floor is paid once).
-run serve_ab python scripts/bench_serve.py \
-    --offered_qps 8,16,24,32 --requests 120 --pcm16 \
+#    The sweep must extend well past the fixed config's ~16-17 req/s
+#    ceiling or the adaptive knee can't show (VERDICT r4: target >=2x).
+T=3600 run serve_ab python scripts/bench_serve.py \
+    --offered_qps 8,16,32,48,64 --requests 150 --pcm16 \
     --ab_max_batch_limit 64
 
 # 8. Native serving host on chip (env-gated pjrt_runner tests: artifact

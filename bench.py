@@ -119,7 +119,11 @@ def _measure_cold_start() -> dict:
         t0 = time.time()
         r = subprocess.run(
             [sys.executable, "-c", child], env=dict(os.environ), cwd=repo,
-            capture_output=True, text=True, timeout=900,
+            # 1800 s: the session floor alone has measured 618 s (r3), and
+            # a chip freshly released by another process can stall the
+            # claim for minutes more — a 900 s cap lost the r5 sweep's
+            # cold-start sample entirely.
+            capture_output=True, text=True, timeout=1800,
         )
         total_s = time.time() - t0
         if r.returncode != 0:

@@ -118,15 +118,30 @@ def pack_fused_request(ids_np: np.ndarray, lengths_np: np.ndarray,
     return packed
 
 
-def unpack_fused_reply(packed_np) -> tuple:
-    """The fused reply's single device→host array → (audio rows [B, S] in
-    the wire dtype, frame counts [B] int32, overflow deficits [B] int32).
-    The meta tail is 2 int32 per row, bit-packed in the audio dtype (2
-    trailing columns for 4-byte dtypes, 4 for 2-byte ones)."""
+def unpack_fused_reply(packed_np, pcm16: bool = False) -> tuple:
+    """The fused reply's single device→host array → (audio rows [B, S],
+    frame counts [B] int32, overflow deficits [B] int32).
+
+    The wire is INTEGER-typed (int32 carrying bitcast float32 audio, or
+    int16 carrying PCM16 / bitcast bfloat16 audio): the audio samples are
+    bitcast into it on device and viewed back here. Carrying the int32
+    meta as float bit patterns instead would be unsafe — XLA makes no
+    guarantee that denormal/NaN payloads survive a float-typed copy, and
+    TPU canonicalization was observed to zero small frame counts (they
+    are denormal f32 patterns) in exactly one output layout. The meta
+    tail is 2 int32 per row (2 trailing wire columns for int32, 4 for
+    int16)."""
     arr = np.asarray(packed_np)
     tail = 8 // arr.dtype.itemsize
-    meta = np.ascontiguousarray(arr[:, -tail:]).view(np.int32)
-    return arr[:, :-tail], meta[:, 0], meta[:, 1]
+    meta = np.ascontiguousarray(arr[:, -tail:])
+    if arr.dtype.itemsize == 2:
+        meta = meta.view(np.int32)
+    audio = arr[:, :-tail]
+    if arr.dtype.itemsize == 2:
+        audio = audio if pcm16 else audio.view(jnp.bfloat16)
+    else:
+        audio = audio.view(np.float32)
+    return audio, meta[:, 0], meta[:, 1]
 
 
 @dataclass
@@ -209,11 +224,6 @@ class TTSPipeline:
         )
         self._fused_packed = jax.jit(
             self._fused_packed_fn,
-            static_argnames=("total_frames", "use_postnet", "upsample",
-                             "pcm16"),
-        )
-        self._stage_b_packed = jax.jit(
-            self._stage_b_packed_fn,
             static_argnames=("total_frames", "use_postnet", "upsample",
                              "pcm16"),
         )
@@ -601,42 +611,23 @@ class TTSPipeline:
                     pcm16=False):
         """length-regulate + VAE + PostNet + HiFiGAN → waveform.
         ``seed``: scalar int32 (the PRNG key is derived inside the
-        executable). Returns (audio, mel, per-row frame counts)."""
+        executable). Returns (audio, mel, per-row frame counts).
+
+        NOTE: the packed single-transfer reply is deliberately NOT
+        offered for stage B. It was tried (r5): warmup of the packed
+        stage-B module at the serving batch buckets crashed the tunnel's
+        remote-compile helper after a ~50-minute hang
+        ("response body closed before all bytes were read" — the known
+        oversized-module failure class), while the same wire format on
+        the fused B=1 path compiles and serves fine. The batch path's
+        second fetch amortizes over B rows; the fused path is where the
+        per-transfer round trip dominates."""
         mel, n_frames = self._acoustic(
             params, enc, frames, seed, total_frames, temperature, use_postnet,
             upsample,
         )
         audio = self._apply_hifigan(params, mel)
         return self._maybe_pcm16(audio, pcm16), mel, n_frames
-
-    def _stage_b_packed_fn(self, params, enc, frames, seed, *, total_frames,
-                           temperature=1.0, use_postnet=True,
-                           upsample="hard", pcm16=False):
-        """Stage B with the reply as ONE array (audio rows + bit-packed
-        per-row frame counts) — the serving batcher's dispatch/collect
-        split then costs a single device→host transfer per batch. Same
-        bit-packing convention as :meth:`_fused_packed_fn` (2 int32 of
-        meta per row: frame count, and 0 where the fused deficit would
-        be), so :func:`unpack_fused_reply` decodes both."""
-        audio, _mel, n_frames = self._stage_b_fn(
-            params, enc, frames, seed, total_frames=total_frames,
-            temperature=temperature, use_postnet=use_postnet,
-            upsample=upsample, pcm16=pcm16,
-        )
-        meta = jnp.stack(
-            [n_frames.astype(jnp.int32),
-             jnp.zeros_like(n_frames, jnp.int32)], axis=1
-        )
-        if audio.dtype == jnp.int16:
-            meta = jax.lax.bitcast_convert_type(meta, jnp.int16)
-            meta = meta.reshape(meta.shape[0], 4)
-        elif audio.dtype == jnp.bfloat16:
-            meta = jax.lax.bitcast_convert_type(meta, jnp.bfloat16)
-            meta = meta.reshape(meta.shape[0], 4)
-        else:
-            audio = audio.astype(jnp.float32)
-            meta = jax.lax.bitcast_convert_type(meta, jnp.float32)
-        return jnp.concatenate([audio, meta], axis=1)
 
     def _stage_b_mel_fn(self, params, enc, frames, seed, *, total_frames,
                         temperature=1.0, use_postnet=True, upsample="hard"):
@@ -735,19 +726,36 @@ class TTSPipeline:
             temperature=temperature, use_postnet=use_postnet,
             upsample=upsample, pcm16=pcm16,
         )
+        return self._pack_reply(audio, n_frames, deficit)
+
+    @staticmethod
+    def _pack_reply(audio, n_frames, deficit):
+        """Audio + per-row int32 meta → ONE INTEGER-typed wire array.
+
+        The audio is bitcast INTO the integer domain (int32 for f32
+        samples, int16 for PCM16/bf16) rather than the meta into the
+        float domain: a float-typed tensor gives XLA license to
+        canonicalize payloads, and TPU was observed to zero bit-packed
+        frame counts (denormal f32 patterns) in one output layout.
+        Integer lanes are copied verbatim on every backend."""
         meta = jnp.stack(
             [n_frames.astype(jnp.int32), deficit.astype(jnp.int32)], axis=1
         )  # [B, 2] int32
         if audio.dtype == jnp.int16:
             meta = jax.lax.bitcast_convert_type(meta, jnp.int16)
-            meta = meta.reshape(meta.shape[0], 4)
-        elif audio.dtype == jnp.bfloat16:
-            meta = jax.lax.bitcast_convert_type(meta, jnp.bfloat16)
-            meta = meta.reshape(meta.shape[0], 4)
-        else:
-            audio = audio.astype(jnp.float32)
-            meta = jax.lax.bitcast_convert_type(meta, jnp.float32)
-        return jnp.concatenate([audio, meta], axis=1)
+            return jnp.concatenate(
+                [audio, meta.reshape(meta.shape[0], 4)], axis=1
+            )
+        if audio.dtype == jnp.bfloat16:
+            audio_i = jax.lax.bitcast_convert_type(audio, jnp.int16)
+            meta = jax.lax.bitcast_convert_type(meta, jnp.int16)
+            return jnp.concatenate(
+                [audio_i, meta.reshape(meta.shape[0], 4)], axis=1
+            )
+        audio_i = jax.lax.bitcast_convert_type(
+            audio.astype(jnp.float32), jnp.int32
+        )
+        return jnp.concatenate([audio_i, meta], axis=1)
 
     def _vocode_fn(self, params, mel):
         return self._apply_hifigan(params, mel)
@@ -1083,18 +1091,13 @@ class TTSPipeline:
                 )
                 stage_a_out[p_bucket] = (enc, frames)
                 n += 1
-            packed = self.packed_fetch and self._mesh is None
             for p_bucket, (enc, frames) in stage_a_out.items():
                 for i, t_bucket in enumerate(self.frame_buckets):
                     # The smallest frame bucket is always reachable (short
                     # predictions clamp up to it), so never skip i == 0.
                     if i and t_bucket > p_bucket * max_frames_per_phoneme:
                         break
-                    # Warm the stage-B variant live traffic dispatches:
-                    # the batcher's dispatch/collect split uses the packed
-                    # reply; synthesize(fused=False) the plain one.
-                    stage_b = self._stage_b_packed if packed else self._stage_b
-                    out = stage_b(
+                    out = self._stage_b(
                         self.params, enc, frames, self._next_seed(0),
                         total_frames=t_bucket, temperature=temperature,
                         use_postnet=self.use_postnet, upsample=self.upsample,
@@ -1152,7 +1155,7 @@ class TTSPipeline:
                 pcm16=pcm16,
             )
             audio_np, n_frames, deficit_np = unpack_fused_reply(
-                jax.device_get(reply)
+                jax.device_get(reply), pcm16
             )
             mel_np = None
             self._count_overflows(deficit_np[: len(texts)])
@@ -1167,22 +1170,6 @@ class TTSPipeline:
                 upsample=self.upsample,
                 pcm16=pcm16,
             )
-        elif (self.packed_fetch and not return_mel
-                and self._mesh is None):
-            # Two-stage with the packed single-transfer reply — the SAME
-            # executable the serving batcher's dispatch/collect split uses,
-            # so one warmup_batched pass covers both entry points.
-            enc, frames, t_bucket = self._run_stage_a(texts)
-            reply = self._stage_b_packed(
-                self.params, enc, frames, seed_dev,
-                total_frames=t_bucket, temperature=temperature,
-                use_postnet=self.use_postnet, upsample=self.upsample,
-                pcm16=pcm16,
-            )
-            audio_np, n_frames, _zero = unpack_fused_reply(
-                jax.device_get(reply)
-            )
-            mel_np = None
         else:
             enc, frames, t_bucket = self._run_stage_a(texts)
             audio, mel, n_frames_arr = self._stage_b(
@@ -1302,18 +1289,9 @@ class TTSPipeline:
         returns an opaque handle for :meth:`_batched_collect`. Lets a
         serving loop dispatch batch N+1 while batch N's audio is still in
         flight to the host (serve/batcher.py). ``synthesize(fused=False)``
-        is dispatch+collect back to back. With ``packed_fetch`` (the
-        default, off-mesh) the reply is ONE array — half the per-batch
-        transfer round trips on tunneled backends."""
+        is dispatch+collect back to back. (The packed single-transfer
+        reply is fused-path-only — see the note on :meth:`_stage_b_fn`.)"""
         enc, frames, t_bucket = self._run_stage_a(texts)
-        if self.packed_fetch and self._mesh is None:
-            reply = self._stage_b_packed(
-                self.params, enc, frames, self._next_seed(seed),
-                total_frames=t_bucket, temperature=temperature,
-                use_postnet=self.use_postnet, upsample=self.upsample,
-                pcm16=pcm16,
-            )
-            return reply, None, len(texts), pcm16
         audio, _mel, n_frames_arr = self._stage_b(
             self.params, enc, frames, self._next_seed(seed),
             total_frames=t_bucket, temperature=temperature,
@@ -1329,12 +1307,7 @@ class TTSPipeline:
         waveforms (row order preserved)."""
         audio, n_frames_arr, n, pcm16 = disp
         hop = self.config.hifigan.total_upsample
-        if n_frames_arr is None:  # packed reply: one transfer
-            audio_np, n_frames, _deficit = unpack_fused_reply(
-                jax.device_get(audio)
-            )
-        else:
-            audio_np, n_frames = jax.device_get((audio, n_frames_arr))
+        audio_np, n_frames = jax.device_get((audio, n_frames_arr))
         n_frames = np.asarray(n_frames).astype(np.int64)
         audio_np = np.asarray(audio_np, np.int16 if pcm16 else np.float32)
         return [

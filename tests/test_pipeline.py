@@ -211,15 +211,15 @@ def test_packed_fetch_matches_unpacked(pipeline):
     assert pipeline._fused_packed._cache_size() == cache
 
 
-def test_batched_dispatch_packed_matches_two_stage(pipeline):
-    """The serving batcher's dispatch/collect split (packed single-transfer
-    reply by default) must hand back exactly what synthesize(fused=False)
-    produces for the same rows, in f32 and int16-PCM wire dtypes."""
+def test_batched_dispatch_matches_two_stage(pipeline):
+    """The serving batcher's dispatch/collect split must hand back exactly
+    what synthesize(fused=False) produces for the same rows. (The packed
+    single-transfer reply is fused-path-only: packing stage B crashed the
+    tunnel's remote-compile helper at serving batch buckets — see
+    pipeline._stage_b_fn's note.)"""
     texts = ["hello", "hello world how are you"]
-    assert pipeline.packed_fetch
     for pcm16 in (False, True):
         handle = pipeline._batched_dispatch(texts, seed=4, pcm16=pcm16)
-        assert handle[1] is None  # the packed reply rode the handle
         got = pipeline._batched_collect(handle)
         want = pipeline.synthesize(texts, seed=4, fused=False, pcm16=pcm16)
         assert len(got) == len(want)
@@ -501,14 +501,11 @@ def test_warmup_batched_precompiles_every_reachable_executable():
     assert n_full == 2 * (2 + 2 * 3)
 
     a_size = pipe._stage_a._cache_size()
-    # The packed single-transfer reply is the live stage-B variant (both
-    # for synthesize(fused=False) and the batcher's dispatch/collect).
-    b_size = pipe._stage_b_packed._cache_size()
-    assert b_size > 0
+    b_size = pipe._stage_b._cache_size()
     out = pipe.synthesize(
         ["hello world", "a somewhat longer sentence to cross buckets"],
         fused=False, seed=0,
     )
     assert len(out) == 2 and all(np.isfinite(o).all() for o in out)
     assert pipe._stage_a._cache_size() == a_size
-    assert pipe._stage_b_packed._cache_size() == b_size
+    assert pipe._stage_b._cache_size() == b_size
